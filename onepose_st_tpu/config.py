@@ -1,0 +1,183 @@
+"""Single typed configuration tree for the whole framework.
+
+Replaces the reference's four overlapping config systems (Hydra yaml +
+yacs + inline cfg dicts + hand-rolled CONFIG class — see SURVEY.md §5).
+Defaults reproduce the reference's published hyperparameters:
+  configs/experiment/train.yaml:40-166 (OnePose++ matcher + training)
+  src/KeypointFreeSfM/loftr_for_sfm/utils/loftr_for_onepose_plus_cfg.py
+  (SfM LoFTR matcher).
+
+Everything is a frozen dataclass so configs are hashable and can be passed
+as jit static arguments.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    """ResNet-FPN 8/2 (reference backbone/resnet.py:85 ResNetFPN_8_2)."""
+    initial_dim: int = 128
+    block_dims: tuple[int, ...] = (128, 196, 256)
+    coarse_stride: int = 8   # resolution[0]
+    fine_stride: int = 2     # resolution[1]
+    # compute dtype for conv path; params stay f32
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    """LoFTR-style self/cross transformer (reference loftr_module/transformer.py)."""
+    d_model: int = 256
+    nhead: int = 8
+    layer_iter_n: int = 3          # number of (self, cross) iterations
+    attention: str = "linear"      # 'linear' | 'full'
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class CoarseMatchingConfig:
+    """Dual-softmax coarse matching (reference utils/coarse_matching.py:58)."""
+    temperature: float = 0.08
+    threshold: float = 0.1
+    border_rm: int = 2
+    feat_norm: str = "sqrt_feat_dim"
+    # static capacity of extracted matches (replaces torch.where dynamic shapes)
+    max_matches: int = 1024
+    # training-time padding (reference coarse_matching.py:177-217)
+    train_coarse_percent: float = 0.3
+    train_pad_num_gt_min: int = 200
+
+
+@dataclass(frozen=True)
+class FineMatchingConfig:
+    """Fine window refinement (reference fine_preprocess.py + fine_matching.py)."""
+    window_size: int = 5
+    d_model: int = 128
+    nhead: int = 8
+    layer_iter_n: int = 1
+    attention: str = "linear"
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class KeypointEncodingConfig:
+    """3D keypoint MLP encoding (reference utils/position_encoding.py:46)."""
+    hidden: tuple[int, ...] = (32, 64, 128)
+    descriptor_dim: int = 256
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """OnePose++ 2D-3D matcher (reference OnePosePlusModel.py; train.yaml:44-127)."""
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    coarse: TransformerConfig = field(default_factory=TransformerConfig)
+    coarse_matching: CoarseMatchingConfig = field(default_factory=CoarseMatchingConfig)
+    fine: FineMatchingConfig = field(default_factory=FineMatchingConfig)
+    kpt_encoding: KeypointEncodingConfig = field(default_factory=KeypointEncodingConfig)
+    # static number of 3D points after padding; 7000 in the reference
+    # (train.yaml:194), rounded up to a lane-aligned multiple of 128 for MXU.
+    n_points: int = _round_up(7000, 128)  # 7040
+    pos_encoding_max_shape: tuple[int, int] = (256, 256)
+
+
+@dataclass(frozen=True)
+class LoFTRConfig:
+    """2D-2D LoFTR matcher for SfM + detection (reference
+    loftr_for_onepose_plus_cfg.py: wsize9, 4 iters, thr 0.2, T 0.1)."""
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    coarse: TransformerConfig = field(
+        default_factory=lambda: TransformerConfig(layer_iter_n=4)
+    )
+    coarse_matching: CoarseMatchingConfig = field(
+        default_factory=lambda: CoarseMatchingConfig(
+            temperature=0.1, threshold=0.2, max_matches=2048
+        )
+    )
+    fine: FineMatchingConfig = field(
+        default_factory=lambda: FineMatchingConfig(window_size=9)
+    )
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Focal coarse + std-weighted L2 fine loss (reference losses.py; train.yaml:128-145)."""
+    coarse_weight: float = 1.0
+    fine_weight: float = 0.81
+    focal_alpha: float = 0.5
+    focal_gamma: float = 2.0
+    pos_weight: float = 1.0
+    neg_weight: float = 1.0
+    fine_correct_thr: float = 1.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training recipe (reference train.yaml:16-166 + train_onepose_plus.py:24-43)."""
+    loss: LossConfig = field(default_factory=LossConfig)
+    canonical_bs: int = 4
+    canonical_lr: float = 1e-4
+    batch_size_per_device: int = 4
+    weight_decay: float = 0.1          # adamw_decay
+    grad_clip: float = 0.5
+    epochs: int = 25
+    lr_milestones: tuple[int, ...] = (3, 6, 9, 12)
+    lr_gamma: float = 0.5
+    seed: int = 12345
+
+    def true_lr(self, world_size: int) -> float:
+        """world-size LR scaling, reference train_onepose_plus.py:24-39."""
+        return self.canonical_lr * (
+            world_size * self.batch_size_per_device / self.canonical_bs
+        )
+
+
+@dataclass(frozen=True)
+class PnPConfig:
+    """RANSAC PnP (reference metric_utils.py:121-209, inference.py:181-189)."""
+    reproj_threshold_px: float = 7.0
+    n_hypotheses: int = 512       # vectorized fixed-trial RANSAC
+    sample_size: int = 4          # minimal P4P via EPnP-lite
+    refine_iters: int = 10        # Gauss-Newton polish on inliers
+    min_inliers: int = 20         # re-detect threshold (inference.py:150)
+
+
+@dataclass(frozen=True)
+class SfMConfig:
+    """Keypoint-free SfM engine (reference run.py + KeypointFreeSfM/*)."""
+    covis_num: int = 10
+    min_rotation_deg: float = 10.0
+    max_num_points3d: int = 15000
+    # static per-pair match capacity
+    max_matches_per_pair: int = 2048
+    # track capacities for BA (reference pads to max_track_length)
+    max_track_length: int = 16
+    # two-view geometric verification
+    epipolar_threshold_px: float = 4.0
+    # triangulation acceptance
+    min_triangulation_angle_deg: float = 1.5
+    max_reproj_error_px: float = 4.0
+    # BA
+    ba_max_iters: int = 32
+    ba_huber_px: float = 2.0
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Top-level config."""
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    loftr: LoFTRConfig = field(default_factory=LoFTRConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    pnp: PnPConfig = field(default_factory=PnPConfig)
+    sfm: SfMConfig = field(default_factory=SfMConfig)
+
+
+def replace(cfg, **kwargs):
+    """dataclasses.replace passthrough for ergonomic overrides."""
+    return dataclasses.replace(cfg, **kwargs)

@@ -1,0 +1,149 @@
+"""OnePose++ style 2D-3D attention matcher (flax, static shapes).
+
+Re-design of reference src/models/OnePosePlus/OnePosePlusModel.py:95-203:
+query image features (ResNet-FPN + sine PE) attend against a padded 3D point
+cloud's descriptors (coarse 256-d + keypoint MLP encoding) through
+`layer_iter_n` (self, cross) linear-attention blocks; dual-softmax coarse
+matching; 5x5 fine windows refined by one more (self, cross) block and a
+softmax-expectation sub-pixel head.
+
+All shapes are static: the point cloud is padded to cfg.n_points with a
+validity mask, and matches come out as fixed-capacity top-K sets
+(ops.matching.extract_matches) instead of torch.where lists.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import MatcherConfig
+from ..core import camera
+from ..ops import matching as match_ops
+from ..ops import windows as window_ops
+from .backbone import ResNetFPN
+from .encodings import KeypointEncoding, sine_positional_encoding
+from .transformer import LocalFeatureTransformer
+
+
+class OnePoseMatcher(nn.Module):
+    cfg: MatcherConfig
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = ResNetFPN(c.backbone)
+        self.kpt_encoding = KeypointEncoding(
+            c.kpt_encoding, dtype=jnp.dtype(c.coarse.dtype)
+        )
+        self.loftr_coarse = LocalFeatureTransformer(
+            d_model=c.coarse.d_model,
+            nhead=c.coarse.nhead,
+            layer_iter_n=c.coarse.layer_iter_n,
+            attention=c.coarse.attention,
+            dtype=jnp.dtype(c.coarse.dtype),
+        )
+        self.loftr_fine = LocalFeatureTransformer(
+            d_model=c.fine.d_model,
+            nhead=c.fine.nhead,
+            layer_iter_n=c.fine.layer_iter_n,
+            attention=c.fine.attention,
+            dtype=jnp.dtype(c.fine.dtype),
+        )
+
+    def __call__(
+        self,
+        query_image: jax.Array,        # [B, H, W, 1] grayscale
+        kpts3d: jax.Array,             # [B, L, 3] padded cloud
+        desc3d_coarse: jax.Array,      # [B, L, Cc] 256-d coarse descriptors
+        desc3d_fine: jax.Array,        # [B, L, Cf] 128-d fine descriptors
+        kpts3d_mask: jax.Array | None = None,   # [B, L] bool (True = real point)
+        fine_ids: tuple[jax.Array, jax.Array] | None = None,  # train override
+        train: bool = False,
+    ) -> dict[str, Any]:
+        c = self.cfg
+        B, H, W, _ = query_image.shape
+        Hc, Wc = H // c.backbone.coarse_stride, W // c.backbone.coarse_stride
+        S = Hc * Wc
+        L = kpts3d.shape[1]
+
+        # 1. backbone
+        feat_c, feat_f = self.backbone(query_image, train=train)
+
+        # 2. encodings
+        q_tokens = sine_positional_encoding(feat_c).reshape(B, S, -1)
+        kpts_normed = camera.normalize_3d_keypoints(kpts3d)
+        p_tokens = self.kpt_encoding(
+            kpts_normed, desc3d_coarse.astype(q_tokens.dtype)
+        )
+        if kpts3d_mask is not None:
+            p_tokens = p_tokens * kpts3d_mask[..., None].astype(p_tokens.dtype)
+
+        # 3. coarse transformer: stream0 = image grid, stream1 = point set
+        q_tokens, p_tokens = self.loftr_coarse(
+            q_tokens, p_tokens, mask0=None, mask1=kpts3d_mask
+        )
+
+        # 4. dual-softmax coarse matching: rows = 3D points, cols = grid
+        conf = match_ops.dual_softmax(
+            p_tokens,
+            q_tokens,
+            temperature=c.coarse_matching.temperature,
+            mask0=kpts3d_mask,
+        )
+        border = match_ops.grid_border_mask((Hc, Wc), c.coarse_matching.border_rm)
+        matches = match_ops.extract_matches(
+            conf,
+            threshold=c.coarse_matching.threshold,
+            max_matches=c.coarse_matching.max_matches,
+            border_mask_cols=border,
+        )
+
+        if fine_ids is not None:
+            # training path: the caller provides the (i, j) slots to refine
+            i_ids, j_ids = fine_ids
+        else:
+            i_ids, j_ids = matches.i_ids, matches.j_ids
+        K = i_ids.shape[1]
+
+        # 5. fine refinement on the K match slots
+        Wn = c.fine.window_size
+        win = window_ops.gather_windows(feat_f, j_ids, (Hc, Wc), Wn)  # [B,K,WW,Cf]
+        d3f = jnp.take_along_axis(
+            desc3d_fine.astype(win.dtype), i_ids[..., None], axis=1
+        )  # [B, K, Cf]
+        win_flat = win.reshape(B * K, Wn * Wn, -1)
+        d3f_flat = d3f.reshape(B * K, 1, -1)
+        win_flat, d3f_flat = self.loftr_fine(win_flat, d3f_flat)
+
+        # 6. heatmap expectation (reference fine_matching.py:84-110)
+        Cf = win_flat.shape[-1]
+        sim = jnp.einsum(
+            "mc,mrc->mr",
+            d3f_flat[:, 0].astype(jnp.float32),
+            win_flat.astype(jnp.float32),
+        ) / (Cf**0.5)
+        heatmap = jax.nn.softmax(sim, axis=-1).reshape(B * K, Wn, Wn)
+        coords_normed, std = match_ops.spatial_expectation(heatmap)
+        coords_normed = coords_normed.reshape(B, K, 2)
+        std = std.reshape(B, K)
+
+        # 7. pixel-space outputs
+        stride_c = float(c.backbone.coarse_stride)
+        stride_f = float(c.backbone.fine_stride)
+        mkpts_c = match_ops.grid_coords(j_ids, Wc, stride_c)
+        mkpts_f = mkpts_c + coords_normed * (Wn // 2) * stride_f
+        mkpts3d = jnp.take_along_axis(kpts3d, i_ids[..., None], axis=1)
+
+        return {
+            "conf_matrix": conf,
+            "matches": matches,
+            "i_ids": i_ids,
+            "j_ids": j_ids,
+            "mkpts3d": mkpts3d,            # [B, K, 3]
+            "mkpts_query_c": mkpts_c,      # [B, K, 2] crop pixels
+            "mkpts_query_f": mkpts_f,      # [B, K, 2] crop pixels (sub-pixel)
+            "expec_f": jnp.concatenate([coords_normed, std[..., None]], axis=-1),
+            "coarse_hw": (Hc, Wc),
+        }

@@ -1,0 +1,50 @@
+"""Fine-level window gathering.
+
+Replaces the reference's F.unfold-then-index pattern
+(src/models/OnePosePlus/loftr_module/fine_preprocess.py:41-54): instead of
+materializing all Hc*Wc windows and selecting K of them, we gather only the
+K needed windows straight from the (zero-padded) fine feature map with one
+batched gather — O(K·W²) memory instead of O(Hc·Wc·W²).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_windows(
+    feat_f: jax.Array,
+    j_ids: jax.Array,
+    coarse_hw: tuple[int, int],
+    window: int,
+) -> jax.Array:
+    """Gather W×W fine-feature windows centered on coarse grid cells.
+
+    Args:
+      feat_f: [B, Hf, Wf, C] fine feature map (NHWC).
+      j_ids: [B, K] flat coarse-grid indices (j = y*Wc + x).
+      coarse_hw: (Hc, Wc) coarse grid shape; stride ratio = Hf // Hc.
+      window: W (odd).
+    Returns: [B, K, W*W, C].
+
+    Window placement matches F.unfold(kernel=W, stride=r, padding=W//2) at
+    window index j: rows y*r - W//2 + [0..W), same for cols.
+    """
+    B, Hf, Wf, C = feat_f.shape
+    Hc, Wc = coarse_hw
+    r = Hf // Hc
+    pad = window // 2
+    padded = jnp.pad(feat_f, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    Hp, Wp = Hf + 2 * pad, Wf + 2 * pad
+
+    yc = (j_ids // Wc).astype(jnp.int32)  # [B, K]
+    xc = (j_ids % Wc).astype(jnp.int32)
+    # top-left corner in padded coords: y*r - pad + pad = y*r
+    offs = jnp.arange(window, dtype=jnp.int32)
+    rows = yc[..., None] * r + offs[None, None, :]           # [B, K, W]
+    cols = xc[..., None] * r + offs[None, None, :]           # [B, K, W]
+    flat = (
+        rows[..., :, None] * Wp + cols[..., None, :]
+    ).reshape(B, j_ids.shape[1], window * window)            # [B, K, W*W]
+    padded_flat = padded.reshape(B, Hp * Wp, C)
+    return jax.vmap(lambda f, idx: jnp.take(f, idx, axis=0))(padded_flat, flat)

@@ -1,0 +1,135 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onepose_st_tpu import config as cfg_lib
+from onepose_st_tpu.models import LoFTRMatcher, OnePoseMatcher
+from onepose_st_tpu.models.backbone import ResNetFPN
+
+
+def small_matcher_cfg():
+    return cfg_lib.MatcherConfig(
+        backbone=cfg_lib.BackboneConfig(
+            initial_dim=16, block_dims=(16, 24, 32), dtype="float32"
+        ),
+        coarse=cfg_lib.TransformerConfig(d_model=32, nhead=4, layer_iter_n=1, dtype="float32"),
+        coarse_matching=cfg_lib.CoarseMatchingConfig(max_matches=32),
+        fine=cfg_lib.FineMatchingConfig(window_size=5, d_model=16, nhead=4, dtype="float32"),
+        kpt_encoding=cfg_lib.KeypointEncodingConfig(hidden=(8, 16), descriptor_dim=32),
+        n_points=64,
+    )
+
+
+def small_loftr_cfg():
+    return cfg_lib.LoFTRConfig(
+        backbone=cfg_lib.BackboneConfig(
+            initial_dim=16, block_dims=(16, 24, 32), dtype="float32"
+        ),
+        coarse=cfg_lib.TransformerConfig(d_model=32, nhead=4, layer_iter_n=1, dtype="float32"),
+        coarse_matching=cfg_lib.CoarseMatchingConfig(
+            temperature=0.1, threshold=0.2, max_matches=32
+        ),
+        fine=cfg_lib.FineMatchingConfig(window_size=5, d_model=16, nhead=4, dtype="float32"),
+    )
+
+
+def test_backbone_shapes(rng):
+    cfg = cfg_lib.BackboneConfig(initial_dim=16, block_dims=(16, 24, 32), dtype="float32")
+    model = ResNetFPN(cfg)
+    x = jnp.asarray(rng.uniform(size=(2, 64, 64, 1)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    fc, ff = model.apply(variables, x, train=False)
+    assert fc.shape == (2, 8, 8, 32)
+    assert ff.shape == (2, 32, 32, 16)
+    assert np.all(np.isfinite(np.asarray(fc)))
+
+
+def test_onepose_matcher_forward(rng):
+    cfg = small_matcher_cfg()
+    model = OnePoseMatcher(cfg)
+    B, H, W, L = 1, 64, 64, cfg.n_points
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+    kpts = jnp.asarray(rng.normal(size=(B, L, 3)).astype(np.float32))
+    dc = jnp.asarray(rng.normal(size=(B, L, 32)).astype(np.float32))
+    df = jnp.asarray(rng.normal(size=(B, L, 16)).astype(np.float32))
+    mask = jnp.ones((B, L), dtype=bool)
+    variables = model.init(jax.random.key(0), img, kpts, dc, df, mask)
+    out = model.apply(variables, img, kpts, dc, df, mask)
+    S = (H // 8) * (W // 8)
+    K = cfg.coarse_matching.max_matches
+    assert out["conf_matrix"].shape == (B, L, S)
+    assert out["mkpts3d"].shape == (B, K, 3)
+    assert out["mkpts_query_f"].shape == (B, K, 2)
+    assert out["expec_f"].shape == (B, K, 3)
+    conf = np.asarray(out["conf_matrix"])
+    assert np.all(np.isfinite(conf)) and conf.min() >= 0 and conf.max() <= 1 + 1e-5
+    # fine coords stay within window radius of coarse coords
+    d = np.abs(np.asarray(out["mkpts_query_f"]) - np.asarray(out["mkpts_query_c"]))
+    assert d.max() <= (cfg.fine.window_size // 2) * cfg.backbone.fine_stride + 1e-3
+
+
+def test_onepose_matcher_point_mask(rng):
+    """Masked (padding) points must get ~zero coarse confidence rows."""
+    cfg = small_matcher_cfg()
+    model = OnePoseMatcher(cfg)
+    B, H, W, L = 1, 64, 64, cfg.n_points
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+    kpts = jnp.asarray(rng.normal(size=(B, L, 3)).astype(np.float32))
+    dc = jnp.asarray(rng.normal(size=(B, L, 32)).astype(np.float32))
+    df = jnp.asarray(rng.normal(size=(B, L, 16)).astype(np.float32))
+    mask = jnp.asarray(np.arange(L) < L // 2)[None]
+    variables = model.init(jax.random.key(0), img, kpts, dc, df, mask)
+    out = model.apply(variables, img, kpts, dc, df, mask)
+    conf = np.asarray(out["conf_matrix"])
+    assert conf[0, L // 2 :].max() < 1e-6
+    # no extracted match may point at a padded point
+    m = out["matches"]
+    assert np.all(np.asarray(m.i_ids)[np.asarray(m.valid)] < L // 2)
+
+
+def test_onepose_matcher_fine_ids_override(rng):
+    cfg = small_matcher_cfg()
+    model = OnePoseMatcher(cfg)
+    B, H, W, L = 1, 64, 64, cfg.n_points
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+    kpts = jnp.asarray(rng.normal(size=(B, L, 3)).astype(np.float32))
+    dc = jnp.asarray(rng.normal(size=(B, L, 32)).astype(np.float32))
+    df = jnp.asarray(rng.normal(size=(B, L, 16)).astype(np.float32))
+    variables = model.init(jax.random.key(0), img, kpts, dc, df)
+    i_ids = jnp.asarray(rng.integers(0, L, size=(B, 16)).astype(np.int32))
+    j_ids = jnp.asarray(rng.integers(0, 64, size=(B, 16)).astype(np.int32))
+    out = model.apply(variables, img, kpts, dc, df, fine_ids=(i_ids, j_ids))
+    assert out["mkpts_query_f"].shape == (B, 16, 2)
+    np.testing.assert_array_equal(np.asarray(out["i_ids"]), np.asarray(i_ids))
+
+
+def test_loftr_matcher_forward(rng):
+    cfg = small_loftr_cfg()
+    model = LoFTRMatcher(cfg)
+    B, H, W = 1, 64, 64
+    img0 = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+    img1 = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+    variables = model.init(jax.random.key(0), img0, img1)
+    out = model.apply(variables, img0, img1)
+    S = (H // 8) * (W // 8)
+    K = cfg.coarse_matching.max_matches
+    assert out["conf_matrix"].shape == (B, S, S)
+    assert out["mkpts0_c"].shape == (B, K, 2)
+    assert out["mkpts1_f"].shape == (B, K, 2)
+    assert np.all(np.isfinite(np.asarray(out["mkpts1_f"])))
+
+
+def test_loftr_identical_images_match_diagonal(rng):
+    """Matching an image against itself: valid matches must be i == j."""
+    cfg = small_loftr_cfg()
+    model = LoFTRMatcher(cfg)
+    B, H, W = 1, 64, 64
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+    variables = model.init(jax.random.key(0), img, img)
+    out = model.apply(variables, img, img)
+    valid = np.asarray(out["valid"][0])
+    if valid.any():
+        i = np.asarray(out["i_ids"][0])[valid]
+        j = np.asarray(out["j_ids"][0])[valid]
+        np.testing.assert_array_equal(i, j)
