@@ -10,6 +10,10 @@ softmax-expectation sub-pixel head.
 All shapes are static: the point cloud is padded to cfg.n_points with a
 validity mask, and matches come out as fixed-capacity top-K sets
 (ops.matching.extract_matches) instead of torch.where lists.
+
+The coarse and fine stages are separate methods so the training step can
+run coarse once, choose its own fine slots (predicted ++ GT pads), and run
+fine once — no double forward.
 """
 from __future__ import annotations
 
@@ -52,26 +56,20 @@ class OnePoseMatcher(nn.Module):
             dtype=jnp.dtype(c.fine.dtype),
         )
 
-    def __call__(
+    def coarse(
         self,
         query_image: jax.Array,        # [B, H, W, 1] grayscale
         kpts3d: jax.Array,             # [B, L, 3] padded cloud
-        desc3d_coarse: jax.Array,      # [B, L, Cc] 256-d coarse descriptors
-        desc3d_fine: jax.Array,        # [B, L, Cf] 128-d fine descriptors
-        kpts3d_mask: jax.Array | None = None,   # [B, L] bool (True = real point)
-        fine_ids: tuple[jax.Array, jax.Array] | None = None,  # train override
+        desc3d_coarse: jax.Array,      # [B, L, Cc]
+        kpts3d_mask: jax.Array | None = None,   # [B, L] bool (True = real)
         train: bool = False,
     ) -> dict[str, Any]:
         c = self.cfg
         B, H, W, _ = query_image.shape
         Hc, Wc = H // c.backbone.coarse_stride, W // c.backbone.coarse_stride
         S = Hc * Wc
-        L = kpts3d.shape[1]
 
-        # 1. backbone
         feat_c, feat_f = self.backbone(query_image, train=train)
-
-        # 2. encodings
         q_tokens = sine_positional_encoding(feat_c).reshape(B, S, -1)
         kpts_normed = camera.normalize_3d_keypoints(kpts3d)
         p_tokens = self.kpt_encoding(
@@ -80,12 +78,9 @@ class OnePoseMatcher(nn.Module):
         if kpts3d_mask is not None:
             p_tokens = p_tokens * kpts3d_mask[..., None].astype(p_tokens.dtype)
 
-        # 3. coarse transformer: stream0 = image grid, stream1 = point set
         q_tokens, p_tokens = self.loftr_coarse(
             q_tokens, p_tokens, mask0=None, mask1=kpts3d_mask
         )
-
-        # 4. dual-softmax coarse matching: rows = 3D points, cols = grid
         conf = match_ops.dual_softmax(
             p_tokens,
             q_tokens,
@@ -99,25 +94,34 @@ class OnePoseMatcher(nn.Module):
             max_matches=c.coarse_matching.max_matches,
             border_mask_cols=border,
         )
+        return {
+            "conf_matrix": conf,
+            "matches": matches,
+            "feat_f": feat_f,
+            "coarse_hw": (Hc, Wc),
+        }
 
-        if fine_ids is not None:
-            # training path: the caller provides the (i, j) slots to refine
-            i_ids, j_ids = fine_ids
-        else:
-            i_ids, j_ids = matches.i_ids, matches.j_ids
-        K = i_ids.shape[1]
-
-        # 5. fine refinement on the K match slots
+    def fine(
+        self,
+        feat_f: jax.Array,             # [B, Hf, Wf, Cf] from coarse()
+        desc3d_fine: jax.Array,        # [B, L, Cf]
+        i_ids: jax.Array,              # [B, K]
+        j_ids: jax.Array,              # [B, K]
+        coarse_hw: tuple[int, int],
+    ) -> dict[str, Any]:
+        c = self.cfg
+        B, K = i_ids.shape
+        Hc, Wc = coarse_hw
         Wn = c.fine.window_size
-        win = window_ops.gather_windows(feat_f, j_ids, (Hc, Wc), Wn)  # [B,K,WW,Cf]
+
+        win = window_ops.gather_windows(feat_f, j_ids, (Hc, Wc), Wn)
         d3f = jnp.take_along_axis(
             desc3d_fine.astype(win.dtype), i_ids[..., None], axis=1
-        )  # [B, K, Cf]
+        )
         win_flat = win.reshape(B * K, Wn * Wn, -1)
         d3f_flat = d3f.reshape(B * K, 1, -1)
         win_flat, d3f_flat = self.loftr_fine(win_flat, d3f_flat)
 
-        # 6. heatmap expectation (reference fine_matching.py:84-110)
         Cf = win_flat.shape[-1]
         sim = jnp.einsum(
             "mc,mrc->mr",
@@ -129,21 +133,39 @@ class OnePoseMatcher(nn.Module):
         coords_normed = coords_normed.reshape(B, K, 2)
         std = std.reshape(B, K)
 
-        # 7. pixel-space outputs
         stride_c = float(c.backbone.coarse_stride)
         stride_f = float(c.backbone.fine_stride)
         mkpts_c = match_ops.grid_coords(j_ids, Wc, stride_c)
         mkpts_f = mkpts_c + coords_normed * (Wn // 2) * stride_f
-        mkpts3d = jnp.take_along_axis(kpts3d, i_ids[..., None], axis=1)
-
         return {
-            "conf_matrix": conf,
-            "matches": matches,
+            "mkpts_query_c": mkpts_c,
+            "mkpts_query_f": mkpts_f,
+            "expec_f": jnp.concatenate([coords_normed, std[..., None]], axis=-1),
+        }
+
+    def __call__(
+        self,
+        query_image: jax.Array,
+        kpts3d: jax.Array,
+        desc3d_coarse: jax.Array,
+        desc3d_fine: jax.Array,
+        kpts3d_mask: jax.Array | None = None,
+        fine_ids: tuple[jax.Array, jax.Array] | None = None,
+        train: bool = False,
+    ) -> dict[str, Any]:
+        out = self.coarse(query_image, kpts3d, desc3d_coarse, kpts3d_mask, train)
+        if fine_ids is not None:
+            i_ids, j_ids = fine_ids
+        else:
+            i_ids, j_ids = out["matches"].i_ids, out["matches"].j_ids
+        fine_out = self.fine(
+            out["feat_f"], desc3d_fine, i_ids, j_ids, out["coarse_hw"]
+        )
+        mkpts3d = jnp.take_along_axis(kpts3d, i_ids[..., None], axis=1)
+        return {
+            **out,
+            **fine_out,
             "i_ids": i_ids,
             "j_ids": j_ids,
-            "mkpts3d": mkpts3d,            # [B, K, 3]
-            "mkpts_query_c": mkpts_c,      # [B, K, 2] crop pixels
-            "mkpts_query_f": mkpts_f,      # [B, K, 2] crop pixels (sub-pixel)
-            "expec_f": jnp.concatenate([coords_normed, std[..., None]], axis=-1),
-            "coarse_hw": (Hc, Wc),
+            "mkpts3d": mkpts3d,
         }

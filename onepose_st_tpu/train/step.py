@@ -1,0 +1,146 @@
+"""Sharded training step for the 2D-3D matcher.
+
+Replaces the reference's PyTorch-Lightning DDP stack
+(src/lightning_model/OnePosePlus_lightning_model.py + train.yaml:16-166)
+with a single jitted function over a `jax.sharding.Mesh`: the batch is
+sharded on the "data" axis, parameters are replicated, and XLA inserts the
+gradient all-reduce. LR scaling follows train_onepose_plus.py:24-39.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import EngineConfig, TrainConfig
+from ..models import OnePoseMatcher
+from . import losses, supervision
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class Batch(NamedTuple):
+    """One training batch (all leading dims = B, static shapes)."""
+
+    query_image: jax.Array   # [B, H, W, 1]
+    kpts3d: jax.Array        # [B, L, 3]
+    desc3d_coarse: jax.Array # [B, L, Cc]
+    desc3d_fine: jax.Array   # [B, L, Cf]
+    point_mask: jax.Array    # [B, L] bool
+    pose_gt: jax.Array       # [B, 6]
+    K_crop: jax.Array        # [B, 3, 3]
+
+
+def make_optimizer(cfg: TrainConfig, world_size: int, steps_per_epoch: int):
+    """AdamW + MultiStepLR(gamma @ milestones) + global-norm clip."""
+    lr = cfg.true_lr(world_size)
+    boundaries = {
+        int(m * steps_per_epoch): cfg.lr_gamma for m in cfg.lr_milestones
+    }
+    schedule = optax.piecewise_constant_schedule(lr, boundaries)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    )
+
+
+def init_state(
+    rng: jax.Array, model: OnePoseMatcher, tx, sample: Batch
+) -> TrainState:
+    variables = model.init(
+        rng,
+        sample.query_image,
+        sample.kpts3d,
+        sample.desc3d_coarse,
+        sample.desc3d_fine,
+        sample.point_mask,
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def train_step(
+    state: TrainState,
+    batch: Batch,
+    rng: jax.Array,
+    model: OnePoseMatcher,
+    tx,
+    cfg: EngineConfig,
+) -> tuple[TrainState, dict[str, jax.Array]]:
+    """One optimizer step. Jit with static (model, tx, cfg)."""
+    mcfg = cfg.matcher
+    H, W = batch.query_image.shape[1:3]
+    sup = supervision.project_gt(
+        batch.kpts3d,
+        batch.pose_gt,
+        batch.K_crop,
+        (H, W),
+        mcfg.backbone.coarse_stride,
+        batch.point_mask,
+    )
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        out, mutated = model.apply(
+            variables,
+            batch.query_image,
+            batch.kpts3d,
+            batch.desc3d_coarse,
+            batch.point_mask,
+            train=True,
+            mutable=["batch_stats"],
+            method=OnePoseMatcher.coarse,
+        )
+        m = out["matches"]
+        # slot layout: model's own top-K predictions ++ sampled GT pads
+        # (reference coarse_matching.py:177-217 semantics, static shapes)
+        i_ids, j_ids, _ = supervision.select_train_slots(
+            rng, m.i_ids, m.j_ids, m.valid, sup,
+            n_gt_pad=mcfg.coarse_matching.train_pad_num_gt_min,
+        )
+        fine_out = model.apply(
+            variables,
+            out["feat_f"],
+            batch.desc3d_fine,
+            i_ids,
+            j_ids,
+            out["coarse_hw"],
+            method=OnePoseMatcher.fine,
+        )
+        expec_f_gt, slot_valid = supervision.fine_gt_offsets(
+            i_ids, j_ids, sup, out["coarse_hw"],
+            mcfg.backbone.coarse_stride,
+            mcfg.backbone.fine_stride,
+            mcfg.fine.window_size,
+        )
+        loss, scalars = losses.total_loss(
+            out["conf_matrix"], sup.gt_j, sup.gt_valid, batch.point_mask,
+            fine_out["expec_f"], expec_f_gt, slot_valid, cfg.train.loss,
+        )
+        return loss, (scalars, mutated["batch_stats"])
+
+    (loss, (scalars, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    scalars = dict(scalars)
+    scalars["grad_norm"] = optax.global_norm(grads)
+    return (
+        TrainState(new_params, new_stats, new_opt, state.step + 1),
+        scalars,
+    )

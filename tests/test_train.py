@@ -1,0 +1,137 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onepose_st_tpu import config as cfg_lib
+from onepose_st_tpu.models import OnePoseMatcher
+from onepose_st_tpu.train import losses, step, supervision
+
+
+def tiny_engine_cfg():
+    matcher = cfg_lib.MatcherConfig(
+        backbone=cfg_lib.BackboneConfig(
+            initial_dim=8, block_dims=(8, 12, 16), dtype="float32"
+        ),
+        coarse=cfg_lib.TransformerConfig(d_model=16, nhead=2, layer_iter_n=1, dtype="float32"),
+        coarse_matching=cfg_lib.CoarseMatchingConfig(
+            max_matches=16, train_pad_num_gt_min=8
+        ),
+        fine=cfg_lib.FineMatchingConfig(window_size=5, d_model=8, nhead=2, dtype="float32"),
+        kpt_encoding=cfg_lib.KeypointEncodingConfig(hidden=(8,), descriptor_dim=16),
+        n_points=32,
+    )
+    return cfg_lib.EngineConfig(matcher=matcher)
+
+
+def make_batch(rng, cfg, B=2, H=64, W=64):
+    L = cfg.matcher.n_points
+    # points in front of an identity-ish camera so many project in-bounds
+    kpts = rng.uniform(-0.5, 0.5, size=(B, L, 3)).astype(np.float32)
+    kpts[..., 2] += 3.0
+    K = np.tile(
+        np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32),
+        (B, 1, 1),
+    )
+    return step.Batch(
+        query_image=rng.uniform(size=(B, H, W, 1)).astype(np.float32),
+        kpts3d=kpts,
+        desc3d_coarse=rng.normal(size=(B, L, 16)).astype(np.float32),
+        desc3d_fine=rng.normal(size=(B, L, 8)).astype(np.float32),
+        point_mask=np.ones((B, L), bool),
+        pose_gt=np.zeros((B, 6), np.float32),
+        K_crop=K,
+    )
+
+
+def test_project_gt(rng):
+    cfg = tiny_engine_cfg()
+    batch = make_batch(rng, cfg)
+    sup = supervision.project_gt(
+        jnp.asarray(batch.kpts3d),
+        jnp.asarray(batch.pose_gt),
+        jnp.asarray(batch.K_crop),
+        (64, 64),
+        8,
+        jnp.asarray(batch.point_mask),
+    )
+    uv = np.asarray(sup.uv_gt)
+    valid = np.asarray(sup.gt_valid)
+    assert valid.mean() > 0.5  # most points project in-bounds by construction
+    # check cell assignment against manual computation
+    j = np.asarray(sup.gt_j)
+    man = (np.floor(uv[..., 1] / 8) * 8 + np.floor(uv[..., 0] / 8)).astype(int)
+    np.testing.assert_array_equal(j[valid], man[valid])
+
+
+def test_select_train_slots_contains_gt(rng):
+    cfg = tiny_engine_cfg()
+    batch = make_batch(rng, cfg, B=1)
+    sup = supervision.project_gt(
+        jnp.asarray(batch.kpts3d), jnp.asarray(batch.pose_gt),
+        jnp.asarray(batch.K_crop), (64, 64), 8, jnp.asarray(batch.point_mask),
+    )
+    K = cfg.matcher.coarse_matching.max_matches
+    pred_i = jnp.zeros((1, K), jnp.int32)
+    pred_j = jnp.zeros((1, K), jnp.int32)
+    pred_v = jnp.zeros((1, K), bool)
+    i_ids, j_ids, is_gt = supervision.select_train_slots(
+        jax.random.key(0), pred_i, pred_j, pred_v, sup, n_gt_pad=8
+    )
+    assert i_ids.shape == (1, K)
+    is_gt = np.asarray(is_gt)
+    assert is_gt[:, -8:].sum() > 0  # some GT pads selected
+    # every GT pad must be a valid (i -> gt_j[i]) pair
+    gi = np.asarray(i_ids)[0, -8:]
+    gj = np.asarray(j_ids)[0, -8:]
+    gt_j = np.asarray(sup.gt_j)[0]
+    ok = np.asarray(is_gt)[0, -8:]
+    np.testing.assert_array_equal(gj[ok], gt_j[gi[ok]])
+
+
+def test_focal_loss_prefers_correct_conf():
+    cfg = cfg_lib.LossConfig()
+    B, L, S = 1, 4, 8
+    gt_j = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+    valid = jnp.ones((B, L), bool)
+    good = jnp.full((B, L, S), 0.01)
+    for i in range(4):
+        good = good.at[0, i, i].set(0.95)
+    bad = jnp.full((B, L, S), 0.5)
+    l_good = losses.coarse_focal_loss(good, gt_j, valid, valid, cfg)
+    l_bad = losses.coarse_focal_loss(bad, gt_j, valid, valid, cfg)
+    assert float(l_good) < float(l_bad)
+
+
+def test_fine_loss_zero_offset():
+    cfg = cfg_lib.LossConfig()
+    expec = jnp.concatenate(
+        [jnp.zeros((1, 8, 2)), 0.5 * jnp.ones((1, 8, 1))], axis=-1
+    )
+    gt = jnp.zeros((1, 8, 2))
+    valid = jnp.ones((1, 8), bool)
+    assert float(losses.fine_l2_std_loss(expec, gt, valid, cfg)) < 1e-9
+    gt_off = jnp.full((1, 8, 2), 0.5)
+    assert float(losses.fine_l2_std_loss(expec, gt_off, valid, cfg)) > 0.1
+
+
+def test_train_step_runs_and_descends(rng):
+    cfg = tiny_engine_cfg()
+    model = OnePoseMatcher(cfg.matcher)
+    batch_np = make_batch(rng, cfg, B=2)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    tx = step.make_optimizer(cfg.train, world_size=1, steps_per_epoch=100)
+    state = step.init_state(jax.random.key(0), model, tx, batch)
+
+    jitted = jax.jit(
+        step.train_step, static_argnames=("model", "tx", "cfg")
+    )
+    losses_seen = []
+    for i in range(8):
+        state, scalars = jitted(
+            state, batch, jax.random.key(i), model=model, tx=tx, cfg=cfg
+        )
+        losses_seen.append(float(scalars["loss"]))
+    assert all(np.isfinite(losses_seen))
+    assert float(scalars["grad_norm"]) > 0
+    # overfitting a single fixed batch must reduce the loss
+    assert losses_seen[-1] < losses_seen[0]
