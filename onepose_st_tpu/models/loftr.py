@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..config import LoFTRConfig
 from ..ops import matching as match_ops
+from ..ops import pallas_kernels as fused_ops
 from ..ops import windows as window_ops
 from .backbone import ResNetFPN
 from .encodings import sine_positional_encoding
@@ -61,6 +62,7 @@ class LoFTRMatcher(nn.Module):
         image1: jax.Array,  # [B, H, W, 1] (same static size)
         fine_ids: tuple[jax.Array, jax.Array] | None = None,
         train: bool = False,
+        dense_conf: bool = False,
     ) -> dict[str, Any]:
         c = self.cfg
         B, H, W, _ = image0.shape
@@ -80,17 +82,30 @@ class LoFTRMatcher(nn.Module):
         t0, t1 = self.loftr_coarse(t0, t1)
 
         # 3. dual-softmax + mutual-NN extraction (border-masked on both grids)
-        conf = match_ops.dual_softmax(
-            t0, t1, temperature=c.coarse_matching.temperature
-        )
         border = match_ops.grid_border_mask((Hc, Wc), c.coarse_matching.border_rm)
-        matches = match_ops.extract_matches(
-            conf,
-            threshold=c.coarse_matching.threshold,
-            max_matches=c.coarse_matching.max_matches,
-            border_mask_rows=border,
-            border_mask_cols=border,
-        )
+        if train or dense_conf:
+            conf = match_ops.dual_softmax(
+                t0, t1, temperature=c.coarse_matching.temperature
+            )
+            matches = match_ops.extract_matches(
+                conf,
+                threshold=c.coarse_matching.threshold,
+                max_matches=c.coarse_matching.max_matches,
+                border_mask_rows=border,
+                border_mask_cols=border,
+            )
+        else:
+            conf = None
+            # row border mask rides the kernel's point mask
+            matches = fused_ops.extract_matches_fused(
+                t0.astype(jnp.float32),
+                t1.astype(jnp.float32),
+                temperature=c.coarse_matching.temperature,
+                threshold=c.coarse_matching.threshold,
+                max_matches=c.coarse_matching.max_matches,
+                point_mask=jnp.broadcast_to(border[None], (B, S)),
+                border_mask_cols=border,
+            )
         if fine_ids is not None:
             i_ids, j_ids = fine_ids
             valid = jnp.ones(i_ids.shape, dtype=bool)

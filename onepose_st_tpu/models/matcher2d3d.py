@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..config import MatcherConfig
 from ..core import camera
 from ..ops import matching as match_ops
+from ..ops import pallas_kernels as fused_ops
 from ..ops import windows as window_ops
 from .backbone import ResNetFPN
 from .encodings import KeypointEncoding, sine_positional_encoding
@@ -63,6 +64,7 @@ class OnePoseMatcher(nn.Module):
         desc3d_coarse: jax.Array,      # [B, L, Cc]
         kpts3d_mask: jax.Array | None = None,   # [B, L] bool (True = real)
         train: bool = False,
+        dense_conf: bool = False,
     ) -> dict[str, Any]:
         c = self.cfg
         B, H, W, _ = query_image.shape
@@ -81,19 +83,33 @@ class OnePoseMatcher(nn.Module):
         q_tokens, p_tokens = self.loftr_coarse(
             q_tokens, p_tokens, mask0=None, mask1=kpts3d_mask
         )
-        conf = match_ops.dual_softmax(
-            p_tokens,
-            q_tokens,
-            temperature=c.coarse_matching.temperature,
-            mask0=kpts3d_mask,
-        )
         border = match_ops.grid_border_mask((Hc, Wc), c.coarse_matching.border_rm)
-        matches = match_ops.extract_matches(
-            conf,
-            threshold=c.coarse_matching.threshold,
-            max_matches=c.coarse_matching.max_matches,
-            border_mask_cols=border,
-        )
+        if train or dense_conf:
+            # training needs the dense conf matrix (focal loss) and autodiff
+            conf = match_ops.dual_softmax(
+                p_tokens,
+                q_tokens,
+                temperature=c.coarse_matching.temperature,
+                mask0=kpts3d_mask,
+            )
+            matches = match_ops.extract_matches(
+                conf,
+                threshold=c.coarse_matching.threshold,
+                max_matches=c.coarse_matching.max_matches,
+                border_mask_cols=border,
+            )
+        else:
+            # inference: fused Pallas scoring, conf never materialized
+            conf = None
+            matches = fused_ops.extract_matches_fused(
+                p_tokens.astype(jnp.float32),
+                q_tokens.astype(jnp.float32),
+                temperature=c.coarse_matching.temperature,
+                threshold=c.coarse_matching.threshold,
+                max_matches=c.coarse_matching.max_matches,
+                point_mask=kpts3d_mask,
+                border_mask_cols=border,
+            )
         return {
             "conf_matrix": conf,
             "matches": matches,
@@ -152,8 +168,11 @@ class OnePoseMatcher(nn.Module):
         kpts3d_mask: jax.Array | None = None,
         fine_ids: tuple[jax.Array, jax.Array] | None = None,
         train: bool = False,
+        dense_conf: bool = False,
     ) -> dict[str, Any]:
-        out = self.coarse(query_image, kpts3d, desc3d_coarse, kpts3d_mask, train)
+        out = self.coarse(
+            query_image, kpts3d, desc3d_coarse, kpts3d_mask, train, dense_conf
+        )
         if fine_ids is not None:
             i_ids, j_ids = fine_ids
         else:

@@ -55,7 +55,7 @@ def test_onepose_matcher_forward(rng):
     df = jnp.asarray(rng.normal(size=(B, L, 16)).astype(np.float32))
     mask = jnp.ones((B, L), dtype=bool)
     variables = model.init(jax.random.key(0), img, kpts, dc, df, mask)
-    out = model.apply(variables, img, kpts, dc, df, mask)
+    out = model.apply(variables, img, kpts, dc, df, mask, dense_conf=True)
     S = (H // 8) * (W // 8)
     K = cfg.coarse_matching.max_matches
     assert out["conf_matrix"].shape == (B, L, S)
@@ -80,7 +80,7 @@ def test_onepose_matcher_point_mask(rng):
     df = jnp.asarray(rng.normal(size=(B, L, 16)).astype(np.float32))
     mask = jnp.asarray(np.arange(L) < L // 2)[None]
     variables = model.init(jax.random.key(0), img, kpts, dc, df, mask)
-    out = model.apply(variables, img, kpts, dc, df, mask)
+    out = model.apply(variables, img, kpts, dc, df, mask, dense_conf=True)
     conf = np.asarray(out["conf_matrix"])
     assert conf[0, L // 2 :].max() < 1e-6
     # no extracted match may point at a padded point
@@ -111,7 +111,7 @@ def test_loftr_matcher_forward(rng):
     img0 = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
     img1 = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
     variables = model.init(jax.random.key(0), img0, img1)
-    out = model.apply(variables, img0, img1)
+    out = model.apply(variables, img0, img1, dense_conf=True)
     S = (H // 8) * (W // 8)
     K = cfg.coarse_matching.max_matches
     assert out["conf_matrix"].shape == (B, S, S)
@@ -133,3 +133,35 @@ def test_loftr_identical_images_match_diagonal(rng):
         i = np.asarray(out["i_ids"][0])[valid]
         j = np.asarray(out["j_ids"][0])[valid]
         np.testing.assert_array_equal(i, j)
+
+
+def test_onepose_matcher_fused_equals_dense(rng):
+    """Inference (fused Pallas) and dense (training) coarse paths must agree."""
+    cfg = small_matcher_cfg()
+    model = OnePoseMatcher(cfg)
+    B, H, W, L = 1, 64, 64, cfg.n_points
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+    kpts = jnp.asarray(rng.normal(size=(B, L, 3)).astype(np.float32))
+    dc = jnp.asarray(rng.normal(size=(B, L, 32)).astype(np.float32))
+    df = jnp.asarray(rng.normal(size=(B, L, 16)).astype(np.float32))
+    mask = jnp.asarray(np.arange(L) < L - 8)[None]
+    variables = model.init(jax.random.key(0), img, kpts, dc, df, mask)
+    dense = model.apply(variables, img, kpts, dc, df, mask, dense_conf=True)
+    fsd = model.apply(variables, img, kpts, dc, df, mask)
+    ds = {
+        (int(i), int(j))
+        for i, j, v in zip(
+            dense["matches"].i_ids[0], dense["matches"].j_ids[0],
+            dense["matches"].valid[0],
+        )
+        if v
+    }
+    fs = {
+        (int(i), int(j))
+        for i, j, v in zip(
+            fsd["matches"].i_ids[0], fsd["matches"].j_ids[0],
+            fsd["matches"].valid[0],
+        )
+        if v
+    }
+    assert fs == ds
