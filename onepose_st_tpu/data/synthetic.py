@@ -1,0 +1,145 @@
+"""Synthetic scene generation for tests, benchmarks and e2e validation.
+
+The reference has no automated tests (SURVEY.md §4); this module is our
+substitute for its demo data: scenes where every quantity (poses, depths,
+tracks, projections) is known by construction, so geometry code is validated
+against exact ground truth on CPU and TPU alike.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+
+class Scene(NamedTuple):
+    points: np.ndarray    # [P, 3] world points on the object
+    poses: np.ndarray     # [F, 6] world->cam (angle-axis ++ t)
+    Rs: np.ndarray        # [F, 3, 3]
+    ts: np.ndarray        # [F, 3]
+    Ks: np.ndarray        # [F, 3, 3]
+    uv: np.ndarray        # [F, P, 2] projections
+    depth: np.ndarray     # [F, P] camera-frame z
+    visible: np.ndarray   # [F, P] bool (in view frustum, in front)
+    image_hw: tuple[int, int]
+
+
+def look_at(eye: np.ndarray, target: np.ndarray, up=(0, -1, 0)) -> tuple[np.ndarray, np.ndarray]:
+    """World->cam (R, t) for a camera at `eye` looking at `target` (+z fwd)."""
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    upv = np.asarray(up, np.float64)
+    right = np.cross(upv, fwd)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], axis=0)  # rows = camera axes in world
+    t = -R @ eye
+    return R, t
+
+
+def make_scene(
+    rng: np.random.Generator,
+    n_points: int = 500,
+    n_frames: int = 12,
+    radius: float = 0.6,
+    object_size: float = 0.2,
+    image_hw: tuple[int, int] = (512, 512),
+    focal: float = 600.0,
+    elevation_jitter: float = 0.15,
+) -> Scene:
+    """Camera ring orbiting a point blob — ARKit-scan-like geometry."""
+    H, W = image_hw
+    pts = rng.uniform(-object_size / 2, object_size / 2, size=(n_points, 3))
+    Rs, ts, poses = [], [], []
+    for i in range(n_frames):
+        a = 2 * np.pi * i / n_frames
+        h = rng.uniform(-elevation_jitter, elevation_jitter)
+        eye = np.array([radius * np.cos(a), h, radius * np.sin(a)])
+        R, t = look_at(eye, np.zeros(3))
+        Rs.append(R)
+        ts.append(t)
+        poses.append(
+            np.concatenate([Rotation.from_matrix(R).as_rotvec(), t])
+        )
+    Rs = np.stack(Rs).astype(np.float32)
+    ts = np.stack(ts).astype(np.float32)
+    poses = np.stack(poses).astype(np.float32)
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+    Ks = np.tile(K, (n_frames, 1, 1))
+
+    p_cam = np.einsum("fij,pj->fpi", Rs, pts) + ts[:, None, :]
+    depth = p_cam[..., 2]
+    uvz = np.einsum("fij,fpj->fpi", Ks, p_cam)
+    uv = uvz[..., :2] / np.clip(uvz[..., 2:], 1e-9, None)
+    visible = (
+        (depth > 0.05)
+        & (uv[..., 0] > 0) & (uv[..., 0] < W)
+        & (uv[..., 1] > 0) & (uv[..., 1] < H)
+    )
+    return Scene(
+        points=pts.astype(np.float32),
+        poses=poses,
+        Rs=Rs,
+        ts=ts,
+        Ks=Ks,
+        uv=uv.astype(np.float32),
+        depth=depth.astype(np.float32),
+        visible=visible,
+        image_hw=image_hw,
+    )
+
+
+class TrackSet(NamedTuple):
+    """Track-major observation layout shared by the BA solvers."""
+
+    kpt0: np.ndarray       # [T, 2] reference-view keypoints
+    ref_idx: np.ndarray    # [T] reference frame
+    obs_idx: np.ndarray    # [T, M] observing frames (padded)
+    kpt1: np.ndarray       # [T, M, 2] observed keypoints
+    mask: np.ndarray       # [T, M]
+    depth_gt: np.ndarray   # [T] GT reference depth
+    point_ids: np.ndarray  # [T] index into scene.points
+
+
+def make_tracks(
+    scene: Scene,
+    rng: np.random.Generator,
+    max_track_length: int = 8,
+    noise_px: float = 0.0,
+    min_obs: int = 2,
+) -> TrackSet:
+    """One track per sufficiently-visible point; reference view = first."""
+    F, P = scene.visible.shape
+    kpt0, ref_idx, obs_idx, kpt1, mask, depth_gt, pids = [], [], [], [], [], [], []
+    for p in range(P):
+        frames = np.nonzero(scene.visible[:, p])[0]
+        if len(frames) < min_obs + 1:
+            continue
+        ref = frames[0]
+        others = frames[1:][: max_track_length]
+        m = len(others)
+        oi = np.zeros(max_track_length, np.int32)
+        k1 = np.zeros((max_track_length, 2), np.float32)
+        msk = np.zeros(max_track_length, bool)
+        oi[:m] = others
+        k1[:m] = scene.uv[others, p]
+        if noise_px > 0:
+            k1[:m] += rng.normal(size=(m, 2)) * noise_px
+        msk[:m] = True
+        kpt0.append(scene.uv[ref, p])
+        ref_idx.append(ref)
+        obs_idx.append(oi)
+        kpt1.append(k1)
+        mask.append(msk)
+        depth_gt.append(scene.depth[ref, p])
+        pids.append(p)
+    return TrackSet(
+        kpt0=np.stack(kpt0).astype(np.float32),
+        ref_idx=np.asarray(ref_idx, np.int32),
+        obs_idx=np.stack(obs_idx),
+        kpt1=np.stack(kpt1),
+        mask=np.stack(mask),
+        depth_gt=np.asarray(depth_gt, np.float32),
+        point_ids=np.asarray(pids, np.int32),
+    )

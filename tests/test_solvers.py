@@ -1,0 +1,101 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from onepose_st_tpu.config import PnPConfig
+from onepose_st_tpu.core import metrics
+from onepose_st_tpu.solvers import ransac_pnp, ransac_affine
+from onepose_st_tpu.solvers.affine import warp_points
+
+
+def synth_pnp_problem(rng, N=256, outlier_frac=0.0, noise_px=0.0):
+    K = np.array([[600.0, 0, 256], [0, 600.0, 256], [0, 0, 1]], np.float32)
+    rotvec = rng.normal(size=3) * 0.4
+    R = Rotation.from_rotvec(rotvec).as_matrix().astype(np.float32)
+    t = np.array([0.05, -0.03, 0.6], np.float32)
+    pts = rng.uniform(-0.15, 0.15, size=(N, 3)).astype(np.float32)
+    uvz = (pts @ R.T + t) @ K.T
+    uv = uvz[:, :2] / uvz[:, 2:]
+    if noise_px > 0:
+        uv = uv + rng.normal(size=uv.shape) * noise_px
+    n_out = int(N * outlier_frac)
+    if n_out:
+        out_idx = rng.choice(N, n_out, replace=False)
+        uv[out_idx] = rng.uniform(0, 512, size=(n_out, 2))
+    pose_gt = np.eye(4, dtype=np.float32)
+    pose_gt[:3, :3] = R
+    pose_gt[:3, 3] = t
+    return pts, uv.astype(np.float32), K, pose_gt, np.ones(N, bool)
+
+
+def run_pnp(rng_np, seed=0, **kw):
+    pts, uv, K, pose_gt, valid = synth_pnp_problem(rng_np, **kw)
+    cfg = PnPConfig(n_hypotheses=256)
+    res = ransac_pnp(
+        jax.random.key(seed), jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(K),
+        jnp.asarray(valid), cfg,
+    )
+    from onepose_st_tpu.core import so3
+
+    R, t = so3.pose6_to_Rt(res.pose6)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = np.asarray(R)
+    T[:3, 3] = np.asarray(t)
+    r_err, t_err = metrics.query_pose_error(T, pose_gt)
+    return res, r_err, t_err
+
+
+def test_pnp_clean(rng):
+    res, r_err, t_err = run_pnp(rng)
+    assert bool(res.success)
+    assert int(res.n_inliers) > 250
+    assert r_err < 0.1 and t_err < 0.1  # deg / cm
+
+
+def test_pnp_outliers(rng):
+    res, r_err, t_err = run_pnp(rng, outlier_frac=0.4)
+    assert bool(res.success)
+    assert r_err < 0.2 and t_err < 0.2
+    # outliers must be excluded
+    assert int(res.n_inliers) < 256
+
+
+def test_pnp_noise(rng):
+    res, r_err, t_err = run_pnp(rng, noise_px=1.0, outlier_frac=0.2)
+    assert bool(res.success)
+    assert r_err < 1.0 and t_err < 1.0
+
+
+def test_pnp_few_valid(rng):
+    """Only 8 valid correspondences out of 256 slots."""
+    pts, uv, K, pose_gt, _ = synth_pnp_problem(rng)
+    valid = np.zeros(256, bool)
+    valid[:8] = True
+    cfg = PnPConfig(n_hypotheses=256)
+    res = ransac_pnp(
+        jax.random.key(0), jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(K),
+        jnp.asarray(valid), cfg,
+    )
+    assert bool(res.success)
+    assert int(res.n_inliers) >= 8
+    # inliers must be a subset of valid
+    assert not np.any(np.asarray(res.inliers) & ~valid)
+
+
+def test_affine_ransac(rng):
+    A_gt = np.array([[1.2, -0.1, 30.0], [0.05, 0.9, -12.0]], np.float32)
+    N = 128
+    src = rng.uniform(0, 512, size=(N, 2)).astype(np.float32)
+    dst = src @ A_gt[:, :2].T + A_gt[:, 2]
+    dst[:40] = rng.uniform(0, 512, size=(40, 2))  # 30% outliers
+    res = ransac_affine(
+        jax.random.key(0), jnp.asarray(src), jnp.asarray(dst),
+        jnp.ones(N, bool), threshold_px=3.0,
+    )
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.A), A_gt, atol=1e-2)
+    corners = jnp.asarray([[0.0, 0], [512, 0], [512, 512], [0, 512]])
+    warped = np.asarray(warp_points(res.A, corners))
+    want = np.asarray(corners) @ A_gt[:, :2].T + A_gt[:, 2]
+    np.testing.assert_allclose(warped, want, atol=0.1)
