@@ -1,0 +1,317 @@
+"""Keypoint-free SfM pipeline driver.
+
+Re-design of reference run.py `sfm_core`/`postprocess` (run.py:144-390):
+
+  images + known scan poses
+    -> covisibility pairs                      (sfm/pairs.py)
+    -> dense pair matching                     (models/loftr.py, batched on device)
+    -> epipolar verification                   (sfm/twoview.py, replaces matches_importer)
+    -> keypoint merge + tracks + keyframes     (sfm/tracks.py, replaces COLMAP db + greedy assignment)
+    -> DLT triangulation + accept tests        (sfm/triangulation.py, replaces point_triangulator)
+    -> depth-only LM refinement                (sfm/ba/depth_ba.py, replaces DeepLM)
+    -> bbox / track-length / merge filters     (sfm/filtering.py)
+    -> per-point averaged descriptors          (ops/sampling.py -> SfMMap)
+
+No Ray, no subprocesses, no SQLite: device stages are jitted and batched
+over pair/track blocks; host stages are numpy graph passes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig
+from ..ops import sampling as sampling_ops
+from . import filtering, pairs as pairs_mod, tracks as tracks_mod, triangulation, twoview
+from .ba import DepthBAProblem, solve_depth_ba
+from .map import SfMMap
+
+
+@dataclasses.dataclass
+class SfMDiagnostics:
+    n_pairs: int = 0
+    n_raw_matches: int = 0
+    n_verified_matches: int = 0
+    n_tracks: int = 0
+    n_triangulated: int = 0
+    n_after_filters: int = 0
+    ba_initial_cost: float = 0.0
+    ba_final_cost: float = 0.0
+    mean_reproj_err_px: float = 0.0
+    track_length_threshold: int = 0
+
+
+def verify_pair_matches(
+    pair_matches: list[tracks_mod.PairMatches],
+    poses: np.ndarray,
+    Ks: np.ndarray,
+    threshold_px: float,
+) -> list[tracks_mod.PairMatches]:
+    """Epipolar-verify every pair against the known poses (batched on device)."""
+    if not pair_matches:
+        return []
+    K_max = max(len(pm.uv_i) for pm in pair_matches)
+    n = len(pair_matches)
+    uv_i = np.zeros((n, K_max, 2), np.float32)
+    uv_j = np.zeros((n, K_max, 2), np.float32)
+    valid = np.zeros((n, K_max), bool)
+    pi = np.zeros((n, 6), np.float32)
+    pj = np.zeros((n, 6), np.float32)
+    ki = np.zeros((n, 3, 3), np.float32)
+    kj = np.zeros((n, 3, 3), np.float32)
+    for a, pm in enumerate(pair_matches):
+        m = len(pm.uv_i)
+        uv_i[a, :m] = pm.uv_i
+        uv_j[a, :m] = pm.uv_j
+        valid[a, :m] = True
+        pi[a] = poses[pm.img_i]
+        pj[a] = poses[pm.img_j]
+        ki[a] = Ks[pm.img_i]
+        kj[a] = Ks[pm.img_j]
+    ok = np.asarray(
+        jax.jit(twoview.epipolar_inliers, static_argnames=("threshold_px",))(
+            jnp.asarray(uv_i), jnp.asarray(uv_j), jnp.asarray(pi),
+            jnp.asarray(pj), jnp.asarray(ki), jnp.asarray(kj),
+            threshold_px=threshold_px, valid=jnp.asarray(valid),
+        )
+    )
+    out = []
+    for a, pm in enumerate(pair_matches):
+        keep = ok[a, : len(pm.uv_i)]
+        if keep.sum() == 0:
+            continue
+        out.append(
+            tracks_mod.PairMatches(
+                img_i=pm.img_i,
+                img_j=pm.img_j,
+                uv_i=pm.uv_i[keep],
+                uv_j=pm.uv_j[keep],
+                score=pm.score[keep],
+            )
+        )
+    return out
+
+
+def build_map_from_matches(
+    pair_matches: list[tracks_mod.PairMatches],
+    poses: np.ndarray,          # [F, 6]
+    Ks: np.ndarray,             # [F, 3, 3]
+    cfg: EngineConfig,
+    box_corners: np.ndarray | None = None,
+    sample_descriptors: Callable | None = None,
+    desc_dims: tuple[int, int] = (256, 128),
+) -> tuple[SfMMap, SfMDiagnostics]:
+    """Geometry spine of map building, starting from raw pair matches.
+
+    `sample_descriptors(img_id, uv [N,2]) -> (desc_coarse [N,Cc], desc_fine
+    [N,Cf])` pulls backbone features for the descriptor DB; when None the
+    map gets zero descriptors (geometry-only tests).
+    """
+    sfm_cfg = cfg.sfm
+    diag = SfMDiagnostics(n_pairs=len(pair_matches))
+    diag.n_raw_matches = int(sum(len(pm.uv_i) for pm in pair_matches))
+
+    # 1. geometric verification against known poses
+    verified = verify_pair_matches(
+        pair_matches, poses, Ks, sfm_cfg.epipolar_threshold_px
+    )
+    diag.n_verified_matches = int(sum(len(pm.uv_i) for pm in verified))
+
+    # 2. merge keypoints, build tracks, choose reference views
+    kp = tracks_mod.merge_keypoints(len(poses), verified)
+    trk = tracks_mod.build_tracks(kp)
+    diag.n_tracks = len(trk.track_imgs)
+    if diag.n_tracks == 0:
+        return (
+            SfMMap(
+                keypoints3d=np.zeros((0, 3), np.float32),
+                desc_coarse=np.zeros((0, desc_dims[0]), np.float32),
+                desc_fine=np.zeros((0, desc_dims[1]), np.float32),
+                scores=np.zeros(0, np.float32),
+                box_corners=box_corners,
+            ),
+            diag,
+        )
+    assigned = tracks_mod.assign_keyframes_greedy(
+        kp, trk, sfm_cfg.max_track_length
+    )
+
+    # 3. DLT triangulation over all observations (ref obs included)
+    T = len(assigned.ref_idx)
+    M = sfm_cfg.max_track_length
+    obs_frame = np.concatenate(
+        [assigned.ref_idx[:, None], assigned.obs_idx], axis=1
+    )
+    obs_uv = np.concatenate([assigned.kpt0[:, None], assigned.kpt1], axis=1)
+    obs_mask = np.concatenate(
+        [np.ones((T, 1), bool), assigned.mask], axis=1
+    )
+    tri = triangulation.triangulate_tracks(
+        jnp.asarray(obs_frame), jnp.asarray(obs_uv), jnp.asarray(obs_mask),
+        jnp.asarray(poses), jnp.asarray(Ks),
+        min_angle_deg=sfm_cfg.min_triangulation_angle_deg,
+        max_reproj_px=sfm_cfg.max_reproj_error_px,
+    )
+    tri_valid = np.asarray(tri.valid)
+    diag.n_triangulated = int(tri_valid.sum())
+
+    # 4. depth-only LM refinement (reference DeepLM stage), depth from the
+    # triangulated point projected into the reference view
+    pts_tri = np.asarray(tri.points)
+    from ..core import so3 as so3_np  # jax fns used on host arrays
+
+    ref_pose = poses[assigned.ref_idx]
+    p_cam = np.asarray(
+        so3_np.pose6_apply(jnp.asarray(ref_pose), jnp.asarray(pts_tri))
+    )
+    depth0 = np.clip(p_cam[:, 2], 1e-3, None).astype(np.float32)
+    prob = DepthBAProblem(
+        kpt0=jnp.asarray(assigned.kpt0),
+        ref_idx=jnp.asarray(assigned.ref_idx),
+        obs_idx=jnp.asarray(assigned.obs_idx),
+        kpt1=jnp.asarray(assigned.kpt1),
+        mask=jnp.asarray(assigned.mask),
+        poses=jnp.asarray(poses),
+        Ks=jnp.asarray(Ks),
+    )
+    depth, info = jax.jit(solve_depth_ba, static_argnames=("max_iters",))(
+        jnp.asarray(depth0), prob, max_iters=cfg.sfm.ba_max_iters
+    )
+    diag.ba_initial_cost = float(info["initial_cost"])
+    diag.ba_final_cost = float(info["final_cost"])
+
+    # unproject refined depths to world points
+    from ..core import camera as camera_ops
+
+    K0 = Ks[assigned.ref_idx]
+    p_cam_ref = np.asarray(
+        camera_ops.unproject(
+            jnp.asarray(assigned.kpt0), depth, jnp.asarray(K0)
+        )
+    )
+    points = np.asarray(
+        camera_ops.cam_to_world(jnp.asarray(p_cam_ref), jnp.asarray(ref_pose))
+    )
+
+    # 5. filters: triangulation validity, bbox, track length, merge
+    track_len = obs_mask.sum(axis=1)
+    keep = tri_valid.copy()
+    if box_corners is not None:
+        keep &= filtering.filter_by_bbox(points, box_corners, padding=0.02)
+    thr = filtering.select_track_length_threshold(
+        track_len[keep], sfm_cfg.max_num_points3d
+    )
+    diag.track_length_threshold = int(thr)
+    keep &= track_len >= thr
+
+    points_k = points[keep]
+    scores_k = track_len[keep].astype(np.float32)
+
+    # 6. descriptor aggregation over observations of each kept track
+    Cc, Cf = desc_dims
+    if sample_descriptors is not None:
+        dc_acc = np.zeros((len(points_k), Cc), np.float64)
+        df_acc = np.zeros((len(points_k), Cf), np.float64)
+        cnt = np.zeros(len(points_k), np.float64)
+        kept_ids = np.nonzero(keep)[0]
+        # group observations by image for batched sampling
+        per_img: dict[int, list[tuple[int, np.ndarray]]] = {}
+        for out_t, t in enumerate(kept_ids):
+            per_img.setdefault(int(assigned.ref_idx[t]), []).append(
+                (out_t, assigned.kpt0[t])
+            )
+            for m in range(M):
+                if assigned.mask[t, m]:
+                    per_img.setdefault(int(assigned.obs_idx[t, m]), []).append(
+                        (out_t, assigned.kpt1[t, m])
+                    )
+        for img, lst in per_img.items():
+            uv = np.stack([x[1] for x in lst])
+            ids = np.asarray([x[0] for x in lst])
+            dc, df = sample_descriptors(img, uv)
+            np.add.at(dc_acc, ids, np.asarray(dc, np.float64))
+            np.add.at(df_acc, ids, np.asarray(df, np.float64))
+            np.add.at(cnt, ids, 1.0)
+        cnt = np.maximum(cnt, 1.0)
+        desc_coarse = (dc_acc / cnt[:, None]).astype(np.float32)
+        desc_fine = (df_acc / cnt[:, None]).astype(np.float32)
+        # L2-normalize averaged descriptors
+        desc_coarse /= np.linalg.norm(desc_coarse, axis=1, keepdims=True) + 1e-8
+        desc_fine /= np.linalg.norm(desc_fine, axis=1, keepdims=True) + 1e-8
+    else:
+        desc_coarse = np.zeros((len(points_k), Cc), np.float32)
+        desc_fine = np.zeros((len(points_k), Cf), np.float32)
+
+    # 7. merge near-duplicate points
+    merged, extras, _ = filtering.merge_close_points(
+        points_k, radius=1e-3, extra=[desc_coarse, desc_fine, scores_k]
+    )
+    desc_coarse, desc_fine, scores = extras
+    diag.n_after_filters = len(merged)
+
+    err = np.asarray(tri.reproj_err)[keep]
+    diag.mean_reproj_err_px = float(err.mean()) if len(err) else 0.0
+
+    return (
+        SfMMap(
+            keypoints3d=merged.astype(np.float32),
+            desc_coarse=desc_coarse,
+            desc_fine=desc_fine,
+            scores=scores,
+            box_corners=box_corners,
+        ),
+        diag,
+    )
+
+
+def match_pairs_loftr(
+    model,
+    variables,
+    images: np.ndarray,        # [F, H, W] or [F, H, W, 1] grayscale in [0,1]
+    pairs: np.ndarray,         # [n, 2] int
+    batch_size: int = 8,
+) -> list[tracks_mod.PairMatches]:
+    """Run the 2D-2D matcher over the covisibility pairs, batched on device.
+
+    Replaces the Ray-pooled `match_worker` fan-out of the reference
+    (KeypointFreeSfM/coarse_match/coarse_match_worker.py:48-85): one jitted
+    program, pairs packed into fixed-size batches (last batch padded by
+    repeating the final pair; duplicates are deduped by the keypoint merge).
+    """
+    if images.ndim == 3:
+        images = images[..., None]
+    n = len(pairs)
+    if n == 0:
+        return []
+    apply = jax.jit(lambda v, a, b: model.apply(v, a, b))
+    out_list: list[tracks_mod.PairMatches] = []
+    for s in range(0, n, batch_size):
+        chunk = pairs[s : s + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        img0 = jnp.asarray(images[chunk[:, 0]])
+        img1 = jnp.asarray(images[chunk[:, 1]])
+        out = apply(variables, img0, img1)
+        mk0 = np.asarray(out["mkpts0_c"])
+        mk1 = np.asarray(out["mkpts1_f"])
+        conf = np.asarray(out["mconf"])
+        valid = np.asarray(out["valid"])
+        for b in range(len(chunk) - pad):
+            keep = valid[b]
+            if keep.sum() == 0:
+                continue
+            out_list.append(
+                tracks_mod.PairMatches(
+                    img_i=int(chunk[b, 0]),
+                    img_j=int(chunk[b, 1]),
+                    uv_i=mk0[b][keep],
+                    uv_j=mk1[b][keep],
+                    score=conf[b][keep],
+                )
+            )
+    return out_list

@@ -1,0 +1,197 @@
+import jax.numpy as jnp
+import numpy as np
+
+from onepose_st_tpu.config import EngineConfig
+from onepose_st_tpu.core import camera
+from onepose_st_tpu.data import synthetic
+from onepose_st_tpu.sfm import pairs, pipeline, tracks, triangulation, twoview
+
+
+# ---------------- pairs ----------------
+
+
+def test_pairs_exhaustive():
+    p = pairs.pairs_exhaustive(4)
+    assert len(p) == 6
+    assert np.all(p[:, 0] < p[:, 1])
+
+
+def test_pairs_from_index():
+    p = pairs.pairs_from_index(5, gap=2)
+    assert (0, 1) in set(map(tuple, p)) and (0, 2) in set(map(tuple, p))
+    assert (0, 3) not in set(map(tuple, p))
+
+
+def test_pairs_from_poses(rng):
+    scene = synthetic.make_scene(rng, n_points=10, n_frames=12)
+    p = pairs.pairs_from_poses(scene.Rs, scene.ts, covis_num=4, min_rotation_deg=10)
+    assert len(p) > 0
+    assert np.all(p[:, 0] < p[:, 1])
+    # ring neighbours (30 deg apart) should be covisible
+    assert (0, 1) in set(map(tuple, p))
+
+
+# ---------------- two-view ----------------
+
+
+def make_pair_matches(scene, i, j, noise_px=0.0, n_outliers=0, rng=None):
+    vis = scene.visible[i] & scene.visible[j]
+    ids = np.nonzero(vis)[0]
+    uv_i = scene.uv[i, ids].copy()
+    uv_j = scene.uv[j, ids].copy()
+    if noise_px and rng is not None:
+        uv_j += rng.normal(size=uv_j.shape) * noise_px
+    if n_outliers and rng is not None:
+        k = rng.choice(len(ids), min(n_outliers, len(ids)), replace=False)
+        uv_j[k] = rng.uniform(0, 512, size=(len(k), 2))
+    return tracks.PairMatches(
+        img_i=i, img_j=j, uv_i=uv_i.astype(np.float32),
+        uv_j=uv_j.astype(np.float32),
+        score=np.ones(len(ids), np.float32),
+    ), ids
+
+
+def test_epipolar_inliers_accepts_gt_rejects_outliers(rng):
+    scene = synthetic.make_scene(rng, n_points=100, n_frames=6)
+    pm, _ = make_pair_matches(scene, 0, 1, n_outliers=30, rng=rng)
+    ok = np.asarray(
+        twoview.epipolar_inliers(
+            jnp.asarray(pm.uv_i), jnp.asarray(pm.uv_j),
+            jnp.asarray(scene.poses[0]), jnp.asarray(scene.poses[1]),
+            jnp.asarray(scene.Ks[0]), jnp.asarray(scene.Ks[1]),
+            threshold_px=2.0,
+        )
+    )
+    # inliers dominate; outliers rejected (a random point may land near the
+    # epipolar line by chance, so allow a couple)
+    assert ok.sum() >= len(ok) - 32
+    assert ok.sum() <= len(ok) - 25
+
+
+# ---------------- tracks ----------------
+
+
+def test_merge_keypoints_dedup():
+    pm1 = tracks.PairMatches(
+        0, 1,
+        uv_i=np.array([[8.0, 8.0], [16.0, 8.0]], np.float32),
+        uv_j=np.array([[50.0, 50.0], [60.0, 50.0]], np.float32),
+        score=np.ones(2, np.float32),
+    )
+    pm2 = tracks.PairMatches(
+        0, 2,
+        uv_i=np.array([[8.2, 7.9]], np.float32),  # same grid cell as (8, 8)
+        uv_j=np.array([[70.0, 70.0]], np.float32),
+        score=np.ones(1, np.float32),
+    )
+    kp = tracks.merge_keypoints(3, [pm1, pm2])
+    assert len(kp.kpts[0]) == 2          # (8,8)-ish merged, (16,8) separate
+    assert len(kp.matches) == 3
+    assert kp.scores[0].max() == 2.0      # merged score sum
+
+
+def test_build_tracks_transitive():
+    """0:a ~ 1:b and 1:b ~ 2:c must become one 3-view track."""
+    pm1 = tracks.PairMatches(
+        0, 1, np.array([[8.0, 8]], np.float32), np.array([[24.0, 8]], np.float32),
+        np.ones(1, np.float32),
+    )
+    pm2 = tracks.PairMatches(
+        1, 2, np.array([[24.0, 8]], np.float32), np.array([[40.0, 8]], np.float32),
+        np.ones(1, np.float32),
+    )
+    kp = tracks.merge_keypoints(3, [pm1, pm2])
+    td = tracks.build_tracks(kp)
+    assert len(td.track_imgs) == 1
+    assert set(td.track_imgs[0].tolist()) == {0, 1, 2}
+
+
+def test_greedy_keyframes(rng):
+    scene = synthetic.make_scene(rng, n_points=80, n_frames=6)
+    pms = []
+    for i, j in pairs.pairs_exhaustive(6):
+        pm, _ = make_pair_matches(scene, int(i), int(j))
+        pms.append(pm)
+    kp = tracks.merge_keypoints(6, pms)
+    td = tracks.build_tracks(kp)
+    at = tracks.assign_keyframes_greedy(kp, td, max_track_length=8)
+    assert np.all(at.ref_idx >= 0)
+    # first keyframe observes the most tracks
+    assert len(at.keyframes) >= 1
+    # reference view must not appear among its own track's obs slots
+    for t in range(len(at.ref_idx)):
+        obs = at.obs_idx[t][at.mask[t]]
+        assert at.ref_idx[t] not in obs
+
+
+# ---------------- triangulation ----------------
+
+
+def test_triangulate_tracks_exact(rng):
+    scene = synthetic.make_scene(rng, n_points=60, n_frames=8)
+    ts = synthetic.make_tracks(scene, rng)
+    obs_frame = np.concatenate([ts.ref_idx[:, None], ts.obs_idx], axis=1)
+    obs_uv = np.concatenate([ts.kpt0[:, None], ts.kpt1], axis=1)
+    obs_mask = np.concatenate(
+        [np.ones((len(ts.ref_idx), 1), bool), ts.mask], axis=1
+    )
+    res = triangulation.triangulate_tracks(
+        jnp.asarray(obs_frame), jnp.asarray(obs_uv), jnp.asarray(obs_mask),
+        jnp.asarray(scene.poses), jnp.asarray(scene.Ks),
+    )
+    valid = np.asarray(res.valid)
+    assert valid.mean() > 0.9
+    gt = scene.points[ts.point_ids]
+    err = np.linalg.norm(np.asarray(res.points) - gt, axis=-1)
+    assert np.median(err[valid]) < 1e-3
+
+
+# ---------------- end-to-end geometry spine ----------------
+
+
+def test_build_map_from_matches_e2e(rng):
+    """Synthetic scene -> noisy matches + outliers -> map ~ GT points."""
+    scene = synthetic.make_scene(rng, n_points=300, n_frames=10)
+    cfg = EngineConfig()
+    pair_list = pairs.pairs_from_poses(scene.Rs, scene.ts, covis_num=6)
+    pms = []
+    for i, j in pair_list:
+        pm, _ = make_pair_matches(
+            scene, int(i), int(j), noise_px=0.3, n_outliers=10, rng=rng
+        )
+        pms.append(pm)
+    corners = np.asarray(
+        camera.box3d_corners(jnp.asarray([0.25, 0.25, 0.25]))
+    )
+    sfm_map, diag = pipeline.build_map_from_matches(
+        pms, scene.poses, scene.Ks, cfg, box_corners=corners
+    )
+    assert diag.n_verified_matches > 0.8 * diag.n_raw_matches * 0.9
+    assert diag.n_tracks > 100
+    assert diag.ba_final_cost < diag.ba_initial_cost
+    assert len(sfm_map.keypoints3d) > 100
+    # every map point must be close to SOME ground-truth point
+    d = np.linalg.norm(
+        sfm_map.keypoints3d[:, None, :] - scene.points[None, :, :], axis=-1
+    ).min(axis=1)
+    assert np.median(d) < 2e-3
+    assert diag.mean_reproj_err_px < 1.0
+
+
+def test_map_save_load_padded(tmp_path, rng):
+    from onepose_st_tpu.sfm.map import SfMMap
+
+    m = SfMMap(
+        keypoints3d=rng.normal(size=(50, 3)).astype(np.float32),
+        desc_coarse=rng.normal(size=(50, 8)).astype(np.float32),
+        desc_fine=rng.normal(size=(50, 4)).astype(np.float32),
+        scores=np.ones(50, np.float32),
+    )
+    p = tmp_path / "map.npz"
+    m.save(p)
+    m2 = SfMMap.load(p)
+    np.testing.assert_allclose(m2.keypoints3d, m.keypoints3d)
+    k, dc, df, s, mask = m2.padded(64)
+    assert k.shape == (64, 3) and mask.sum() == 50
+    k, dc, df, s, mask = m2.padded(32, rng)
+    assert k.shape == (32, 3) and mask.all()
