@@ -1,0 +1,2 @@
+from .detector import ObjectDetector, DetectorDB  # noqa: F401
+from .pipeline import PoseEstimator, FrameResult  # noqa: F401

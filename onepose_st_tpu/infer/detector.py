@@ -1,0 +1,112 @@
+"""Local-feature object detection for inference.
+
+Re-design of reference src/local_feature_object_detector/
+local_feature_2D_detector.py:40-280:
+
+  * cold start / lost track: LoFTR-match the query frame against the SfM
+    reference views (one batched forward over all DB views), pick the view
+    with the most matches, RANSAC-affine its object box into the query,
+    square-expand, crop 512x512 and update K;
+  * tracked: project the 3D box with the previous pose for the crop box
+    (reference previous_pose_detect:249).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import camera
+from ..data import images as img_ops
+from ..solvers import ransac_affine
+from ..solvers.affine import warp_points
+
+
+class DetectorDB(NamedTuple):
+    """Reference views with their object boxes (full-image pixel coords)."""
+
+    images: np.ndarray   # [V, H, W] grayscale [0,1]
+    boxes: np.ndarray    # [V, 4] object bbox (x0, y0, x1, y1) per view
+
+
+class Detection(NamedTuple):
+    box: np.ndarray          # [4] square crop box in query pixels
+    n_matches: int
+    best_view: int
+    success: bool
+
+
+class ObjectDetector:
+    def __init__(self, loftr_model, loftr_variables, db: DetectorDB, crop_hw=(512, 512)):
+        self.model = loftr_model
+        self.variables = loftr_variables
+        self.db = db
+        self.crop_hw = crop_hw
+        self._apply = jax.jit(
+            lambda v, a, b: {
+                k: out[k]
+                for out in [loftr_model.apply(v, a, b)]
+                for k in ("mkpts0_c", "mkpts1_f", "mconf", "valid")
+            }
+        )
+
+    def detect(self, query: np.ndarray, rng_seed: int = 0) -> Detection:
+        """Match query against every DB view; affine-warp the best box."""
+        V = len(self.db.images)
+        img0 = jnp.asarray(self.db.images[..., None])          # DB views
+        img1 = jnp.asarray(
+            np.repeat(query[None, ..., None], V, axis=0)
+        )
+        out = self._apply(self.variables, img0, img1)
+        valid = np.asarray(out["valid"])
+        n_per_view = valid.sum(axis=1)
+        best = int(np.argmax(n_per_view))
+        if n_per_view[best] < 8:
+            return Detection(
+                box=np.zeros(4, np.float32), n_matches=int(n_per_view[best]),
+                best_view=best, success=False,
+            )
+        res = ransac_affine(
+            jax.random.key(rng_seed),
+            jnp.asarray(out["mkpts0_c"][best]),
+            jnp.asarray(out["mkpts1_f"][best]),
+            jnp.asarray(valid[best]),
+            threshold_px=8.0,
+        )
+        x0, y0, x1, y1 = self.db.boxes[best]
+        corners = jnp.asarray(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=jnp.float32
+        )
+        warped = np.asarray(warp_points(res.A, corners))
+        box = np.array(
+            [warped[:, 0].min(), warped[:, 1].min(),
+             warped[:, 0].max(), warped[:, 1].max()],
+            np.float32,
+        )
+        sq = np.asarray(camera.square_box(jnp.asarray(box), pad_ratio=0.1))
+        return Detection(
+            box=sq, n_matches=int(res.n_inliers), best_view=best,
+            success=bool(res.success),
+        )
+
+    def previous_pose_detect(
+        self, pose6: np.ndarray, K: np.ndarray, box_corners3d: np.ndarray
+    ) -> Detection:
+        """Project the object's 3D box with the previous pose -> crop box."""
+        uv, depth = camera.project(
+            jnp.asarray(box_corners3d), jnp.asarray(pose6), jnp.asarray(K)
+        )
+        box = camera.bbox_from_points(uv)
+        sq = np.asarray(camera.square_box(box, pad_ratio=0.1))
+        ok = bool(np.all(np.asarray(depth) > 0))
+        return Detection(box=sq, n_matches=0, best_view=-1, success=ok)
+
+    def crop(self, query: np.ndarray, det: Detection, K: np.ndarray):
+        """Crop the query frame + update intrinsics for the crop."""
+        crop, A3 = img_ops.crop_image(query, det.box, self.crop_hw)
+        K_crop = np.asarray(
+            camera.crop_K(jnp.asarray(K), jnp.asarray(det.box), self.crop_hw)
+        )
+        return crop, K_crop, A3

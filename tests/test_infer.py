@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onepose_st_tpu import config as cfg_lib
+from onepose_st_tpu.core import camera
+from onepose_st_tpu.infer.detector import DetectorDB, ObjectDetector
+from onepose_st_tpu.infer.tracker import TemporalTracker
+from onepose_st_tpu.models import LoFTRMatcher, OnePoseMatcher
+
+from test_models import small_loftr_cfg, small_matcher_cfg
+
+
+def _texture(rng, H=64, W=64):
+    """Smooth random texture (correlatable, unlike white noise)."""
+    import scipy.ndimage as ndi
+
+    img = rng.uniform(size=(H, W)).astype(np.float32)
+    img = ndi.gaussian_filter(img, 1.2)
+    img = (img - img.min()) / (img.max() - img.min() + 1e-8)
+    return img
+
+
+def make_detector(rng, n_views=2):
+    # untrained weights produce diffuse confidences; drop the match
+    # threshold so self-matching works in this unit test
+    cfg = cfg_lib.replace(
+        small_loftr_cfg(),
+        coarse_matching=cfg_lib.CoarseMatchingConfig(
+            temperature=0.1, threshold=0.005, max_matches=32
+        ),
+    )
+    model = LoFTRMatcher(cfg)
+    imgs = np.stack([_texture(rng) for _ in range(n_views)])
+    variables = model.init(
+        jax.random.key(0), jnp.asarray(imgs[:1, ..., None]),
+        jnp.asarray(imgs[:1, ..., None]),
+    )
+    boxes = np.tile(np.array([8.0, 8.0, 56.0, 56.0], np.float32), (n_views, 1))
+    db = DetectorDB(images=imgs, boxes=boxes)
+    return ObjectDetector(model, variables, db, crop_hw=(64, 64)), imgs
+
+
+def test_detector_self_query(rng):
+    """Querying with a DB view itself: affine ~ identity, box ~ DB box."""
+    det, imgs = make_detector(rng)
+    d = det.detect(imgs[0])
+    assert d.success
+    # square-expanded box center should stay near the DB box center (32, 32)
+    cx = (d.box[0] + d.box[2]) / 2
+    cy = (d.box[1] + d.box[3]) / 2
+    assert abs(cx - 32) < 6 and abs(cy - 32) < 6
+
+
+def test_previous_pose_detect_projects_box(rng):
+    det, _ = make_detector(rng)
+    corners = np.asarray(camera.box3d_corners(jnp.asarray([0.2, 0.2, 0.2])))
+    pose = np.array([0, 0, 0, 0, 0, 1.0], np.float32)
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32)
+    d = det.previous_pose_detect(pose, K, corners)
+    assert d.success
+    # box extent: 0.2m at 1m with f=100 -> 20px -> padded square ~22px
+    assert 18 < (d.box[2] - d.box[0]) < 30
+    crop, K_crop, A3 = det.crop(_texture(rng), d, K)
+    assert crop.shape == (64, 64)
+    # center of projection maps to crop center
+    c = A3 @ np.array([32.0, 32.0, 1.0])
+    np.testing.assert_allclose(c[:2], [32.0, 32.0], atol=0.05)
+
+
+def test_tracker_recovers_translation(rng):
+    """Shifted texture: chained correlation tracking must recover the shift."""
+    cfg = small_matcher_cfg()
+    model = OnePoseMatcher(cfg)
+    H = W = 64
+    base = _texture(rng, H + 16, W + 16)
+    f0 = base[8 : 8 + H, 8 : 8 + W]
+    dxy = (6, 4)  # (dx, dy) pixels
+    f1 = base[8 - dxy[1] : 8 - dxy[1] + H, 8 - dxy[0] : 8 - dxy[0] + W]
+    frames = np.stack([f0, f1])
+    L = cfg.n_points
+    variables = model.init(
+        jax.random.key(0),
+        jnp.asarray(frames[:1, ..., None]),
+        jnp.zeros((1, L, 3)),
+        jnp.zeros((1, L, 32)),
+        jnp.zeros((1, L, 16)),
+    )
+    tracker = TemporalTracker(model, variables, search_radius=6)
+    feats = tracker.features(frames)
+    pts = np.array(
+        [[24.0, 24.0], [32.0, 30.0], [40.0, 36.0], [28.0, 40.0]], np.float32
+    )
+    uv1, conf = tracker.track_chain(feats, pts, start=0, target=1)
+    expect = pts + np.asarray(dxy, np.float32)
+    err = np.linalg.norm(uv1 - expect, axis=-1)
+    assert np.median(err) < 1.5, (uv1, expect)
+    assert (conf > 0.5).all()
+
+
+def test_tracker_identity(rng):
+    """Tracking into the same frame content must stay put."""
+    cfg = small_matcher_cfg()
+    model = OnePoseMatcher(cfg)
+    f = _texture(rng)
+    frames = np.stack([f, f])
+    L = cfg.n_points
+    variables = model.init(
+        jax.random.key(0), jnp.asarray(frames[:1, ..., None]),
+        jnp.zeros((1, L, 3)), jnp.zeros((1, L, 32)), jnp.zeros((1, L, 16)),
+    )
+    tracker = TemporalTracker(model, variables, search_radius=6)
+    feats = tracker.features(frames)
+    pts = np.array([[24.0, 24.0], [36.0, 32.0]], np.float32)
+    uv1, conf = tracker.track_chain(feats, pts, start=0, target=1)
+    assert np.linalg.norm(uv1 - pts, axis=-1).max() < 0.75
