@@ -166,6 +166,10 @@ class SfMConfig:
     # BA
     ba_max_iters: int = 32
     ba_huber_px: float = 2.0
+    # post-filter: merge map points closer than this (meters). Duplicate
+    # points split dual-softmax probability mass at inference, so this also
+    # acts on matcher confidence calibration.
+    merge_radius: float = 1e-3
 
 
 @dataclass(frozen=True)

