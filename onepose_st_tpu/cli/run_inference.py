@@ -1,0 +1,127 @@
+"""Inference CLI: pose estimation on a test sequence + optional temporal
+refinement and demo video.
+
+Framework analogue of reference `inference.py --obj_name ... --test_dirs ...`.
+
+Usage:
+  python -m onepose_st_tpu.cli.run_inference --data_dir data/obj/test-seq \
+      --map map.npz --matcher_ckpt ckpts/matcher \
+      [--refine] [--video out.mp4] [--eval]
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data_dir", required=True, help="parsed test sequence dir")
+    ap.add_argument("--map", required=True)
+    ap.add_argument("--matcher_ckpt", default=None)
+    ap.add_argument("--refine", action="store_true",
+                    help="temporal tracking second pass")
+    ap.add_argument("--video", default=None)
+    ap.add_argument("--eval", action="store_true",
+                    help="report pose APs vs the sequence's GT poses")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import config as cfg_lib
+    from ..core import so3
+    from ..data import parse_arkit
+    from ..infer.detector import DetectorDB, ObjectDetector
+    from ..infer.evaluate import evaluate_poses
+    from ..infer.pipeline import PoseEstimator
+    from ..infer.tracker import TemporalTracker, refine_sequence
+    from ..models import LoFTRMatcher, OnePoseMatcher
+    from ..sfm.map import SfMMap
+    from ..train.loop import load_checkpoint
+    from ..utils import viz
+
+    cfg = cfg_lib.adapt_dtypes(cfg_lib.EngineConfig())
+    sfm_map = SfMMap.load(args.map)
+    seq = parse_arkit.load_sequence(args.data_dir, pose_dir="poses", intrin_dir="intrin")
+
+    matcher = OnePoseMatcher(cfg.matcher)
+    L = cfg.matcher.n_points
+    if args.matcher_ckpt:
+        variables = load_checkpoint(args.matcher_ckpt)
+    else:
+        print("WARNING: untrained matcher (no --matcher_ckpt)")
+        variables = jax.jit(matcher.init)(
+            jax.random.key(0), jnp.asarray(seq.images[:1, ..., None]),
+            jnp.zeros((1, L, 3)),
+            jnp.zeros((1, L, cfg.matcher.coarse.d_model)),
+            jnp.zeros((1, L, cfg.matcher.fine.d_model)),
+        )
+
+    # detector DB: a handful of views from the map's source sequences would
+    # normally be stored alongside the map; here use the test sequence's
+    # first frames as a stand-in when no DB dir exists.
+    loftr = LoFTRMatcher(cfg.loftr)
+    loftr_vars = jax.jit(loftr.init)(
+        jax.random.key(1), jnp.asarray(seq.images[:1, ..., None]),
+        jnp.asarray(seq.images[:1, ..., None]),
+    )
+    db = DetectorDB(
+        images=seq.images[:8],
+        boxes=np.tile(
+            np.asarray([0, 0, seq.images.shape[2], seq.images.shape[1]], np.float32),
+            (min(8, len(seq.images)), 1),
+        ),
+    )
+    detector = ObjectDetector(loftr, loftr_vars, db)
+    estimator = PoseEstimator(cfg, matcher, variables, sfm_map, detector)
+
+    results = []
+    for f in range(len(seq.images)):
+        r = estimator.estimate(seq.images[f], seq.Ks[f], frame_idx=f)
+        results.append(r)
+        print(
+            f"frame {seq.frame_ids[f]}: inliers {r.n_inliers} "
+            f"{'tracked' if r.tracked else 'detected'} "
+            f"{'ok' if r.success else 'LOST'}"
+        )
+
+    final_T = [r.T44 for r in results]
+    if args.refine:
+        tracker = TemporalTracker(matcher, variables)
+        refined = refine_sequence(
+            cfg, tracker, seq.images, results, seq.Ks
+        )
+        final_T = [r.T44 for r in refined]
+
+    if args.eval:
+        gt_T = []
+        for f in range(len(seq.images)):
+            R = np.asarray(so3.exp(jnp.asarray(seq.poses[f, :3])))
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = seq.poses[f, 3:]
+            gt_T.append(T)
+        rep = evaluate_poses(
+            np.stack(final_T), np.stack(gt_T),
+            model_points=sfm_map.keypoints3d,
+            K=seq.Ks[0],
+            success=np.asarray([r.success for r in results]),
+        )
+        print(rep.row())
+
+    if args.video and sfm_map.box_corners is not None:
+        frames_out = [
+            viz.save_demo_image(
+                seq.images[f], sfm_map.box_corners, final_T[f], seq.Ks[f]
+            )
+            for f in range(len(seq.images))
+        ]
+        viz.make_video(frames_out, args.video)
+        print(f"video -> {args.video}")
+
+
+if __name__ == "__main__":
+    main()

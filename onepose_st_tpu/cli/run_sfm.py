@@ -1,0 +1,116 @@
+"""SfM map-building CLI.
+
+Framework analogue of reference `run.py +preprocess=sfm_demo` (demo.sh step
+2): parse scan dirs -> pairs -> LoFTR matching -> triangulation + depth BA
+-> filtered SfMMap artifact.
+
+Usage:
+  python -m onepose_st_tpu.cli.run_sfm --data_dir data/obj --out map.npz \
+      [--loftr_ckpt ckpts/loftr] [--covis 10] [--min_rot 10]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data_dir", required=True,
+                    help="object dir containing <seq>-annotate subdirs")
+    ap.add_argument("--out", required=True, help="output SfMMap .npz path")
+    ap.add_argument("--loftr_ckpt", default=None,
+                    help="orbax checkpoint dir for the 2D-2D matcher")
+    ap.add_argument("--covis", type=int, default=10)
+    ap.add_argument("--min_rot", type=float, default=10.0)
+    ap.add_argument("--down_ratio", type=int, default=5)
+    ap.add_argument("--export_colmap", default=None,
+                    help="optional dir to write a COLMAP binary model")
+    args = ap.parse_args()
+
+    from .. import config as cfg_lib
+    from ..data import colmap_io, parse_arkit
+    from ..models import LoFTRMatcher
+    from ..ops import sampling as sampling_ops
+    from ..sfm import pairs as pairs_mod, pipeline
+    from ..train.loop import load_checkpoint
+
+    cfg = cfg_lib.adapt_dtypes(cfg_lib.EngineConfig())
+    cfg = cfg_lib.replace(
+        cfg,
+        sfm=cfg_lib.replace(
+            cfg.sfm, covis_num=args.covis, min_rotation_deg=args.min_rot
+        ),
+    )
+
+    # collect all annotate sequences
+    seq_dirs = sorted(Path(args.data_dir).glob("*-annotate"))
+    if not seq_dirs:
+        raise SystemExit(f"no *-annotate sequences under {args.data_dir}")
+    seqs = [parse_arkit.load_sequence(s) for s in seq_dirs]
+    images = np.concatenate([s.images[:: args.down_ratio] for s in seqs])
+    poses = np.concatenate([s.poses[:: args.down_ratio] for s in seqs])
+    Ks = np.concatenate([s.Ks[:: args.down_ratio] for s in seqs])
+    corners = seqs[0].box_corners
+    print(f"{len(images)} frames from {len(seqs)} sequences")
+
+    model = LoFTRMatcher(cfg.loftr)
+    if args.loftr_ckpt:
+        variables = load_checkpoint(args.loftr_ckpt)
+    else:
+        print("WARNING: untrained LoFTR weights (no --loftr_ckpt)")
+        variables = jax.jit(model.init)(
+            jax.random.key(0),
+            jnp.asarray(images[:1, ..., None]),
+            jnp.asarray(images[:1, ..., None]),
+        )
+
+    from ..sfm.pairs import poses_to_Rt
+
+    Rs, ts = poses_to_Rt(poses)
+    pair_list = pairs_mod.pairs_from_poses(
+        Rs, ts, covis_num=cfg.sfm.covis_num,
+        min_rotation_deg=cfg.sfm.min_rotation_deg,
+    )
+    print(f"{len(pair_list)} covisibility pairs")
+    pms = pipeline.match_pairs_loftr(model, variables, images, pair_list)
+
+    # descriptor sampling from the 2D-3D matcher's backbone would require a
+    # trained matcher; at map build time we sample from the LoFTR backbone
+    feat_cache: dict[int, tuple] = {}
+
+    def sample_desc(img_id, uv):
+        if img_id not in feat_cache:
+            fc, ff = model.apply(
+                variables, jnp.asarray(images[img_id][None, ..., None]),
+                train=False,
+                method=lambda m, im, train: m.backbone(im, train),
+            )
+            feat_cache[img_id] = (fc, ff)
+        fc, ff = feat_cache[img_id]
+        dc = sampling_ops.sample_descriptors(fc, jnp.asarray(uv)[None], 8.0)[0]
+        df = sampling_ops.sample_descriptors(ff, jnp.asarray(uv)[None], 2.0)[0]
+        return np.asarray(dc), np.asarray(df)
+
+    sfm_map, diag = pipeline.build_map_from_matches(
+        pms, poses, Ks, cfg, box_corners=corners,
+        sample_descriptors=sample_desc,
+        desc_dims=(cfg.loftr.coarse.d_model, cfg.loftr.fine.d_model),
+    )
+    print(dataclasses.asdict(diag))
+    sfm_map.save(args.out)
+    print(f"map: {len(sfm_map.keypoints3d)} points -> {args.out}")
+    if args.export_colmap:
+        colmap_io.export_map(
+            args.export_colmap, poses, Ks, images.shape[1:3], sfm_map
+        )
+        print(f"COLMAP model -> {args.export_colmap}")
+
+
+if __name__ == "__main__":
+    main()

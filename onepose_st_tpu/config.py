@@ -185,3 +185,33 @@ class EngineConfig:
 def replace(cfg, **kwargs):
     """dataclasses.replace passthrough for ergonomic overrides."""
     return dataclasses.replace(cfg, **kwargs)
+
+
+def _map_dtype_fields(cfg, new_dtype: str):
+    if not dataclasses.is_dataclass(cfg):
+        return cfg
+    updates = {}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if f.name == "dtype" and isinstance(v, str):
+            if v != new_dtype:
+                updates[f.name] = new_dtype
+        elif dataclasses.is_dataclass(v):
+            nv = _map_dtype_fields(v, new_dtype)
+            if nv is not v:
+                updates[f.name] = nv
+    return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
+def adapt_dtypes(cfg, backend: str | None = None):
+    """Rewrite every `dtype` field for the active backend.
+
+    bf16 is the right compute dtype on TPU (MXU-native) but the XLA CPU
+    backend cannot execute bf16 dots, so CPU runs (tests, dev machines)
+    get float32.
+    """
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    return _map_dtype_fields(cfg, "float32" if backend == "cpu" else "bfloat16")

@@ -121,10 +121,12 @@ def build_map_from_matches(
     )
     diag.n_verified_matches = int(sum(len(pm.uv_i) for pm in verified))
 
-    # 2. merge keypoints, build tracks, choose reference views
-    kp = tracks_mod.merge_keypoints(len(poses), verified)
-    trk = tracks_mod.build_tracks(kp)
-    diag.n_tracks = len(trk.track_imgs)
+    # 2. merge keypoints, build tracks, choose reference views (native C++
+    # engine when available; python fallback — identical outputs)
+    kp, assigned = tracks_mod.process_matches(
+        len(poses), verified, max_track_length=sfm_cfg.max_track_length
+    )
+    diag.n_tracks = len(assigned.ref_idx)
     if diag.n_tracks == 0:
         return (
             SfMMap(
@@ -136,9 +138,6 @@ def build_map_from_matches(
             ),
             diag,
         )
-    assigned = tracks_mod.assign_keyframes_greedy(
-        kp, trk, sfm_cfg.max_track_length
-    )
 
     # 3. DLT triangulation over all observations (ref obs included)
     T = len(assigned.ref_idx)

@@ -251,3 +251,47 @@ def assign_keyframes_greedy(
         ref_kpt_ids=ref_kpt_ids,
         keyframes=np.asarray(keyframes, np.int32),
     )
+
+
+def process_matches(
+    n_images: int,
+    pair_matches: list[PairMatches],
+    quant: float = 1.0,
+    min_track_length: int = 2,
+    max_track_length: int = 16,
+    use_native: bool | None = None,
+) -> tuple[Keypoints, AssignedTracks]:
+    """merge_keypoints + build_tracks + assign_keyframes_greedy in one call.
+
+    Dispatches to the native C++ engine (native/trackgraph.cc) when it is
+    available — same outputs, ~100x faster on large match graphs — and to
+    the pure-Python stages above otherwise (or when use_native=False).
+    """
+    if use_native is None or use_native:
+        from .. import native
+
+        if native.available():
+            from ..native.trackgraph import process_matches as native_process
+
+            return native_process(
+                n_images, pair_matches, quant=quant,
+                min_track_length=min_track_length,
+                max_track_length=max_track_length,
+            )
+        if use_native:
+            raise RuntimeError("native trackgraph requested but unavailable")
+    kp = merge_keypoints(n_images, pair_matches, quant=quant)
+    trk = build_tracks(kp, min_track_length=min_track_length)
+    if not trk.track_imgs:
+        M = max_track_length
+        return kp, AssignedTracks(
+            ref_idx=np.zeros(0, np.int32),
+            kpt0=np.zeros((0, 2), np.float32),
+            obs_idx=np.zeros((0, M), np.int32),
+            kpt1=np.zeros((0, M, 2), np.float32),
+            mask=np.zeros((0, M), bool),
+            obs_kpt_ids=np.full((0, M), -1, np.int32),
+            ref_kpt_ids=np.zeros(0, np.int32),
+            keyframes=np.zeros(0, np.int32),
+        )
+    return kp, assign_keyframes_greedy(kp, trk, max_track_length)

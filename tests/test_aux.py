@@ -1,0 +1,98 @@
+"""Aux subsystems: viz, profiler, eval harness, COLMAP interop."""
+import numpy as np
+
+from onepose_st_tpu.data import colmap_io
+from onepose_st_tpu.infer.evaluate import evaluate_poses
+from onepose_st_tpu.utils import profiler, viz
+
+
+def test_draw_and_reproject(rng):
+    corners = rng.uniform(-0.1, 0.1, size=(8, 3))
+    T = np.eye(4)
+    T[2, 3] = 1.0
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+    uv = viz.reproject_corners(corners, T, K)
+    assert uv.shape == (8, 2)
+    img = viz.draw_3d_box(rng.uniform(size=(64, 64)).astype(np.float32), uv)
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+
+
+def test_plot_matches(rng):
+    img = rng.uniform(size=(32, 32)).astype(np.float32)
+    uv = rng.uniform(0, 32, size=(10, 2)).astype(np.float32)
+    canvas = viz.plot_matches(img, img, uv, uv)
+    assert canvas.shape == (32, 64, 3)
+
+
+def test_simple_profiler():
+    p = profiler.SimpleProfiler(sync_device=False)
+    with p.scope("a"):
+        sum(range(1000))
+    with p.scope("a"):
+        pass
+    s = p.summary()
+    assert "| a | 2 |" in s
+
+
+def test_evaluate_poses(rng):
+    from scipy.spatial.transform import Rotation
+
+    F = 10
+    gt = np.tile(np.eye(4), (F, 1, 1))
+    pred = gt.copy()
+    for f in range(5, F):  # half the frames off by 4 deg / 4 cm
+        pred[f, :3, :3] = Rotation.from_rotvec([0, 0, np.deg2rad(4)]).as_matrix()
+        pred[f, 0, 3] = 0.04
+    pts = rng.normal(size=(50, 3)) * 0.1
+    K = np.array([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]])
+    rep = evaluate_poses(pred, gt, model_points=pts, K=K)
+    assert rep.aps["1cm@1degree"] == 0.5
+    assert rep.aps["5cm@5degree"] == 1.0
+    assert rep.n_frames == F
+
+
+def test_colmap_model_roundtrip(tmp_path, rng):
+    cams = {
+        1: colmap_io.ColmapCamera(
+            1, "PINHOLE", 640, 480, np.array([500.0, 510.0, 320.0, 240.0])
+        )
+    }
+    imgs = {
+        1: colmap_io.ColmapImage(
+            1, np.array([1.0, 0, 0, 0]), np.array([0.1, 0.2, 0.3]), 1,
+            "frame0.png",
+            rng.uniform(0, 640, size=(5, 2)),
+            np.array([1, -1, 2, -1, 3], np.int64),
+        )
+    }
+    pts = {
+        1: colmap_io.ColmapPoint3D(
+            1, np.array([0.1, 0.2, 0.3]), np.array([255, 0, 0], np.uint8),
+            0.5, np.array([1], np.int32), np.array([0], np.int32),
+        )
+    }
+    colmap_io.write_model(tmp_path, cams, imgs, pts)
+    c2, i2, p2 = colmap_io.read_model(tmp_path)
+    np.testing.assert_allclose(c2[1].params, cams[1].params)
+    np.testing.assert_allclose(c2[1].K[0, 0], 500.0)
+    assert i2[1].name == "frame0.png"
+    np.testing.assert_allclose(i2[1].xys, imgs[1].xys)
+    np.testing.assert_array_equal(i2[1].point3D_ids, imgs[1].point3D_ids)
+    np.testing.assert_allclose(p2[1].xyz, pts[1].xyz)
+    assert p2[1].image_ids.tolist() == [1]
+
+
+def test_export_map(tmp_path, rng):
+    from onepose_st_tpu.sfm.map import SfMMap
+
+    m = SfMMap(
+        keypoints3d=rng.normal(size=(20, 3)).astype(np.float32),
+        desc_coarse=np.zeros((20, 4), np.float32),
+        desc_fine=np.zeros((20, 2), np.float32),
+        scores=np.ones(20, np.float32),
+    )
+    poses = np.tile(np.array([0, 0, 0, 0, 0, 1.0], np.float32), (3, 1))
+    Ks = np.tile(np.eye(3, dtype=np.float32) * 100, (3, 1, 1))
+    colmap_io.export_map(tmp_path / "model", poses, Ks, (480, 640), m)
+    cams, imgs, pts = colmap_io.read_model(tmp_path / "model")
+    assert len(cams) == 3 and len(imgs) == 3 and len(pts) == 20

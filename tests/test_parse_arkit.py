@@ -1,0 +1,77 @@
+"""ARKit parser round-trip on a synthetic scan directory."""
+import numpy as np
+import cv2
+
+from onepose_st_tpu.data import parse_arkit, synthetic
+
+
+def make_fake_scan(tmp_path, rng, n_frames=5):
+    """Write a reference-format scan dir from a synthetic scene."""
+    d = tmp_path / "obj" / "seq1-annotate"
+    (d / "Frames").mkdir(parents=True)
+    scene = synthetic.make_scene(
+        rng, n_points=40, n_frames=n_frames, image_hw=(128, 128), focal=150.0,
+        object_size=0.2,
+    )
+    frames = synthetic.render_sequence(scene, rng, sigma_px=2.0)
+    for i in range(n_frames):
+        cv2.imwrite(
+            str(d / "Frames" / f"{i}.png"),
+            (frames[i] * 255).astype(np.uint8),
+        )
+    # Frames.txt: idx, ts, fx, fy, cx, cy
+    K = scene.Ks[0]
+    lines = [
+        f"{i},0.0,{K[0,0]},{K[1,1]},{K[0,2]},{K[1,2]}" for i in range(n_frames)
+    ]
+    (d / "Frames.txt").write_text("\n".join(lines))
+    # ARposes.txt: ts, tx, ty, tz, r00..r22 (world->cam semantics)
+    rows = []
+    for i in range(n_frames):
+        R = scene.Rs[i]
+        t = scene.ts[i]
+        rows.append(
+            ",".join(
+                map(str, [0.0, *t.tolist(), *R.reshape(-1).tolist()])
+            )
+        )
+    (d / "ARposes.txt").write_text("\n".join(rows))
+    (d / "Box.txt").write_text(
+        "header\n0,0,0,0.25,0.25,0.25,0,0,0,1\n"
+    )
+    return d, scene, frames
+
+
+def test_parse_and_load_roundtrip(tmp_path, rng):
+    d, scene, frames = make_fake_scan(tmp_path, rng)
+    n = parse_arkit.parse_sequence(d, downsample_rate=1, hw=64)
+    assert n == len(frames)
+    for sub in ["color", "poses", "intrin", "bbox", "reproj_box", "M"]:
+        assert (d / sub).exists()
+    assert (d / "intrin_ba").is_symlink() and (d / "poses_ba").is_symlink()
+
+    seq = parse_arkit.load_sequence(d)
+    assert seq.images.shape == (n, 64, 64)
+    assert seq.box_corners.shape == (8, 3)
+    # pose round-trip: loaded pose6 must reproduce the GT projection
+    import jax.numpy as jnp
+
+    from onepose_st_tpu.core import camera
+
+    for f in range(n):
+        uv_crop, depth = camera.project(
+            jnp.asarray(scene.points), jnp.asarray(seq.poses[f]),
+            jnp.asarray(seq.Ks[f]), eps=0.0,
+        )
+        # map GT full-image projections through the crop affine M^-1
+        M_full2crop = np.linalg.inv(seq.M_crop2full[f])
+        uv_gt = scene.uv[f] @ M_full2crop[:2, :2].T + M_full2crop[:2, 2]
+        err = np.linalg.norm(np.asarray(uv_crop) - uv_gt, axis=-1)
+        assert np.median(err) < 0.1, (f, np.median(err))
+
+
+def test_box3d_corners_extents(tmp_path):
+    (tmp_path / "Box.txt").write_text("h\n1,2,3,0.4,0.6,0.8,0,0,0,1\n")
+    c = parse_arkit.read_box3d(tmp_path / "Box.txt")
+    np.testing.assert_allclose(c.mean(0), [1, 2, 3])
+    np.testing.assert_allclose(c.max(0) - c.min(0), [0.4, 0.6, 0.8])
