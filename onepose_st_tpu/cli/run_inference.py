@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--video", default=None)
     ap.add_argument("--eval", action="store_true",
                     help="report pose APs vs the sequence's GT poses")
+    ap.add_argument("--calib_ckpt", default=None,
+                    help="CalibNet checkpoint: infer K from the frames when "
+                         "the sequence has no intrinsics (reference "
+                         "inference.py:121-123 infer_K path)")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +50,24 @@ def main():
     cfg = cfg_lib.adapt_dtypes(cfg_lib.EngineConfig())
     sfm_map = SfMMap.load(args.map)
     seq = parse_arkit.load_sequence(args.data_dir, pose_dir="poses", intrin_dir="intrin")
+
+    if args.calib_ckpt:
+        from ..calib import CalibNet, infer_K
+        from ..calib.model import CalibConfig
+
+        calib_model = CalibNet(CalibConfig())
+        calib_vars = load_checkpoint(args.calib_ckpt)
+        full_dir = Path(args.data_dir) / "color_full"
+        K_full = infer_K(calib_model, calib_vars, full_dir)
+        print(f"inferred K (full frame):\n{K_full}")
+        # M maps crop->full; K_crop = inv(M) @ K_full
+        Ks = np.stack([
+            np.linalg.inv(seq.M_crop2full[f]) @ K_full
+            for f in range(len(seq.images))
+        ]).astype(np.float32)
+        import dataclasses as _dc
+
+        seq = _dc.replace(seq, Ks=Ks)
 
     matcher = OnePoseMatcher(cfg.matcher)
     L = cfg.matcher.n_points
