@@ -82,21 +82,26 @@ def main():
             jnp.zeros((1, L, cfg.matcher.fine.d_model)),
         )
 
-    # detector DB: a handful of views from the map's source sequences would
-    # normally be stored alongside the map; here use the test sequence's
-    # first frames as a stand-in when no DB dir exists.
     loftr = LoFTRMatcher(cfg.loftr)
     loftr_vars = jax.jit(loftr.init)(
         jax.random.key(1), jnp.asarray(seq.images[:1, ..., None]),
         jnp.asarray(seq.images[:1, ..., None]),
     )
-    db = DetectorDB(
-        images=seq.images[:8],
-        boxes=np.tile(
-            np.asarray([0, 0, seq.images.shape[2], seq.images.shape[1]], np.float32),
-            (min(8, len(seq.images)), 1),
-        ),
-    )
+    if sfm_map.ref_images is not None:
+        # detector DB stored with the map by run_sfm (make_reference_db)
+        db = DetectorDB(
+            images=sfm_map.ref_images.astype(np.float32) / 255.0,
+            boxes=sfm_map.ref_boxes,
+        )
+    else:
+        print("WARNING: map has no detector views; using test frames as DB")
+        db = DetectorDB(
+            images=seq.images[:8],
+            boxes=np.tile(
+                np.asarray([0, 0, seq.images.shape[2], seq.images.shape[1]], np.float32),
+                (min(8, len(seq.images)), 1),
+            ),
+        )
     detector = ObjectDetector(loftr, loftr_vars, db)
     estimator = PoseEstimator(cfg, matcher, variables, sfm_map, detector)
 

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--down_ratio", type=int, default=5)
     ap.add_argument("--export_colmap", default=None,
                     help="optional dir to write a COLMAP binary model")
+    ap.add_argument("--match_cache", default=None,
+                    help="npz stage cache for raw pair matches (role of the "
+                         "reference's raw_matches.h5); reused when present")
+    ap.add_argument("--overwrite_cache", action="store_true")
     args = ap.parse_args()
 
     from .. import config as cfg_lib
@@ -78,7 +82,17 @@ def main():
         min_rotation_deg=cfg.sfm.min_rotation_deg,
     )
     print(f"{len(pair_list)} covisibility pairs")
-    pms = pipeline.match_pairs_loftr(model, variables, images, pair_list)
+    if (
+        args.match_cache
+        and Path(args.match_cache).exists()
+        and not args.overwrite_cache
+    ):
+        pms = pipeline.load_pair_matches(args.match_cache)
+        print(f"loaded {len(pms)} pair matches from {args.match_cache}")
+    else:
+        pms = pipeline.match_pairs_loftr(model, variables, images, pair_list)
+        if args.match_cache:
+            pipeline.save_pair_matches(args.match_cache, pms)
 
     # descriptor sampling from the 2D-3D matcher's backbone would require a
     # trained matcher; at map build time we sample from the LoFTR backbone
@@ -103,6 +117,9 @@ def main():
         desc_dims=(cfg.loftr.coarse.d_model, cfg.loftr.fine.d_model),
     )
     print(dataclasses.asdict(diag))
+    from ..sfm.map import make_reference_db
+
+    make_reference_db(sfm_map, images, poses, Ks)  # detector DB views
     sfm_map.save(args.out)
     print(f"map: {len(sfm_map.keypoints3d)} points -> {args.out}")
     if args.export_colmap:

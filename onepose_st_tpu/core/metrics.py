@@ -82,3 +82,43 @@ def model_diameter(model_pts: np.ndarray) -> float:
     (src/utils/sample_points_on_cad.py `model_diameter_from_bbox`)."""
     extent = np.max(model_pts, axis=0) - np.min(model_pts, axis=0)
     return float(np.linalg.norm(extent))
+
+
+def umeyama_align(
+    src: np.ndarray, dst: np.ndarray, with_scale: bool = True
+) -> tuple[np.ndarray, np.ndarray, float, np.ndarray]:
+    """Horn/Umeyama closed-form sim(3) alignment: dst ~ s * R @ src + t.
+
+    Role of reference src/utils/colmap/eval_helper.py:10-60 `align` (ATE
+    trajectory alignment); returns (R, t, s, per_point_error).
+    Input shapes [N, 3].
+    """
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    if len(src) < 3:
+        return np.eye(3), np.zeros(3), 1.0, np.full(len(src), np.inf)
+    mu_s = src.mean(0)
+    mu_d = dst.mean(0)
+    xs = src - mu_s
+    xd = dst - mu_d
+    cov = xd.T @ xs / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    if with_scale:
+        var_s = (xs**2).sum() / len(src)
+        s = float(np.trace(np.diag(D) @ S) / var_s)
+    else:
+        s = 1.0
+    t = mu_d - s * R @ mu_s
+    aligned = s * src @ R.T + t
+    err = np.linalg.norm(aligned - dst, axis=1)
+    return R, t, s, err
+
+
+def ate_rmse(traj_pred: np.ndarray, traj_gt: np.ndarray, with_scale: bool = True) -> float:
+    """Absolute trajectory error (RMSE of aligned camera centers), meters."""
+    _, _, _, err = umeyama_align(traj_pred, traj_gt, with_scale)
+    return float(np.sqrt((err**2).mean()))

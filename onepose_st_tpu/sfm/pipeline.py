@@ -315,3 +315,35 @@ def match_pairs_loftr(
                 )
             )
     return out_list
+
+
+def save_pair_matches(path, pms: list[tracks_mod.PairMatches]) -> None:
+    """Stage cache for raw pair matches (role of the reference's
+    raw_matches.h5, coarse_match.py:49-65): re-running the pipeline can skip
+    the matcher forward passes entirely."""
+    offsets = np.zeros(len(pms) + 1, np.int64)
+    for i, pm in enumerate(pms):
+        offsets[i + 1] = offsets[i] + len(pm.uv_i)
+    np.savez_compressed(
+        path,
+        pair_imgs=np.asarray([[pm.img_i, pm.img_j] for pm in pms], np.int32).reshape(-1, 2),
+        offsets=offsets,
+        uv_i=np.concatenate([pm.uv_i for pm in pms]) if pms else np.zeros((0, 2), np.float32),
+        uv_j=np.concatenate([pm.uv_j for pm in pms]) if pms else np.zeros((0, 2), np.float32),
+        score=np.concatenate([pm.score for pm in pms]) if pms else np.zeros(0, np.float32),
+    )
+
+
+def load_pair_matches(path) -> list[tracks_mod.PairMatches]:
+    z = np.load(path)
+    pair_imgs, offsets = z["pair_imgs"], z["offsets"]
+    uv_i, uv_j, score = z["uv_i"], z["uv_j"], z["score"]
+    return [
+        tracks_mod.PairMatches(
+            img_i=int(pair_imgs[p, 0]), img_j=int(pair_imgs[p, 1]),
+            uv_i=uv_i[offsets[p]:offsets[p + 1]],
+            uv_j=uv_j[offsets[p]:offsets[p + 1]],
+            score=score[offsets[p]:offsets[p + 1]],
+        )
+        for p in range(len(pair_imgs))
+    ]

@@ -27,8 +27,19 @@ def map_training_batches(
     batch_size: int,
     frame_ids: np.ndarray | None = None,
     augment_brightness: float = 0.0,
+    homography_prob: float = 0.0,
+    photometric: str | None = None,
 ) -> Iterator[step_lib.Batch]:
-    """Infinite generator of training batches for one object."""
+    """Infinite generator of training batches for one object.
+
+    homography_prob: probability of warping a sample with an SAP homography
+    (reference "homo warp adaptation"); the sampled H is folded into that
+    sample's K (K' = H @ K) so the on-device GT projection stays exact.
+    photometric: 'dark' | 'mobile' photometric chain on the query crop.
+    """
+    from . import augment as aug
+
+    pho = aug.PhotometricAug(photometric) if photometric else None
     k, dc, df, s, mask = sfm_map.padded(cfg.matcher.n_points, rng)
     ids = (
         np.asarray(frame_ids)
@@ -42,6 +53,18 @@ def map_training_batches(
     while True:
         sel = rng.choice(ids, batch_size, replace=len(ids) < batch_size)
         imgs = frames[sel][..., None].astype(np.float32)
+        K_batch = Ks[sel].astype(np.float32).copy()
+        if homography_prob > 0 or pho is not None:
+            H_img, W_img = imgs.shape[1:3]
+            for b in range(batch_size):
+                im = imgs[b, ..., 0]
+                if homography_prob > 0 and rng.uniform() < homography_prob:
+                    Hmat = aug.sample_homography_sap(rng, H_img, W_img)
+                    im = aug.warp_image(im, Hmat)
+                    K_batch[b] = (Hmat @ K_batch[b]).astype(np.float32)
+                if pho is not None:
+                    im = pho(im, rng)
+                imgs[b, ..., 0] = im
         if augment_brightness > 0:
             gains = rng.uniform(
                 1 - augment_brightness, 1 + augment_brightness,
@@ -55,5 +78,66 @@ def map_training_batches(
             desc3d_fine=dfB,
             point_mask=maskB,
             pose_gt=poses[sel].astype(np.float32),
-            K_crop=Ks[sel].astype(np.float32),
+            K_crop=K_batch,
+        )
+
+
+def multi_object_batches(
+    objects: list[tuple[SfMMap, np.ndarray, np.ndarray, np.ndarray]],
+    cfg: EngineConfig,
+    rng: np.random.Generator,
+    batch_size: int,
+    augment_brightness: float = 0.0,
+    homography_prob: float = 0.0,
+    photometric: str | None = None,
+) -> Iterator[step_lib.Batch]:
+    """Batches mixing several objects (the role of the reference's merged
+    COCO annotations, merge.py:13-197): each batch element independently
+    samples an object and one of its frames. Per-sample point clouds make
+    this free — the Batch already carries kpts3d per element.
+
+    `objects`: list of (sfm_map, frames [F,H,W], poses [F,6], Ks [F,3,3]).
+    """
+    from . import augment as aug
+
+    pho = aug.PhotometricAug(photometric) if photometric else None
+    L = cfg.matcher.n_points
+    clouds = [m.padded(L, rng) for m, _, _, _ in objects]
+    n_obj = len(objects)
+    while True:
+        obj_sel = rng.integers(0, n_obj, size=batch_size)
+        imgs = np.empty(
+            (batch_size, *objects[0][1].shape[1:3], 1), np.float32
+        )
+        kB = np.empty((batch_size, L, 3), np.float32)
+        dcB = np.empty((batch_size, L, clouds[0][1].shape[1]), np.float32)
+        dfB = np.empty((batch_size, L, clouds[0][2].shape[1]), np.float32)
+        maskB = np.empty((batch_size, L), bool)
+        poseB = np.empty((batch_size, 6), np.float32)
+        KB = np.empty((batch_size, 3, 3), np.float32)
+        for b, o in enumerate(obj_sel):
+            _, frames, poses, Ks = objects[o]
+            k, dc, df, _, mask = clouds[o]
+            f = rng.integers(0, len(frames))
+            im = frames[f].astype(np.float32)
+            K = Ks[f].astype(np.float32).copy()
+            if homography_prob > 0 and rng.uniform() < homography_prob:
+                Hmat = aug.sample_homography_sap(rng, *im.shape[:2])
+                im = aug.warp_image(im, Hmat)
+                K = (Hmat @ K).astype(np.float32)
+            if pho is not None:
+                im = pho(im, rng)
+            imgs[b, ..., 0] = im
+            kB[b], dcB[b], dfB[b], maskB[b] = k, dc, df, mask
+            poseB[b] = poses[f]
+            KB[b] = K
+        if augment_brightness > 0:
+            gains = rng.uniform(
+                1 - augment_brightness, 1 + augment_brightness,
+                size=(batch_size, 1, 1, 1),
+            ).astype(np.float32)
+            imgs = np.clip(imgs * gains, 0, 1)
+        yield step_lib.Batch(
+            query_image=imgs, kpts3d=kB, desc3d_coarse=dcB, desc3d_fine=dfB,
+            point_mask=maskB, pose_gt=poseB, K_crop=KB,
         )

@@ -97,6 +97,14 @@ def fit(
     if ckpt_mgr is not None:
         ckpt_mgr.save(n_steps, args=_ckpt_args(state))
         ckpt_mgr.wait_until_finished()
+    if ckpt_dir is not None and history:
+        # scalar history as JSONL next to the checkpoints (the role of the
+        # reference's CSV logger, configs/experiment/train.yaml:218-228)
+        import json
+
+        with open(Path(ckpt_dir) / "history.jsonl", "a") as f:
+            for rec in history:
+                f.write(json.dumps(rec) + "\n")
     return state, history
 
 

@@ -49,3 +49,34 @@ def test_projection_2d_error_zero():
     K = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
     T = make_pose([0.1, 0, 0], [0, 0, 2])
     assert metrics.projection_2d_error(pts, T, T, K) < 1e-9
+
+
+def test_umeyama_align(rng):
+    from scipy.spatial.transform import Rotation
+
+    from onepose_st_tpu.core.metrics import ate_rmse, umeyama_align
+
+    src = rng.normal(size=(40, 3))
+    R_true = Rotation.from_rotvec([0.2, -0.1, 0.4]).as_matrix()
+    s_true, t_true = 1.7, np.array([0.3, -1.2, 0.8])
+    dst = s_true * src @ R_true.T + t_true
+    R, t, s, err = umeyama_align(src, dst)
+    np.testing.assert_allclose(R, R_true, atol=1e-8)
+    np.testing.assert_allclose(t, t_true, atol=1e-8)
+    assert abs(s - s_true) < 1e-8
+    assert err.max() < 1e-8
+    assert ate_rmse(src, dst) < 1e-8
+    # rigid-only mode recovers R, t when scale is 1
+    dst2 = src @ R_true.T + t_true
+    R2, t2, s2, err2 = umeyama_align(src, dst2, with_scale=False)
+    assert s2 == 1.0 and err2.max() < 1e-8
+
+
+def test_umeyama_reflection_guard(rng):
+    from onepose_st_tpu.core.metrics import umeyama_align
+
+    src = rng.normal(size=(30, 3))
+    dst = src.copy()
+    dst[:, 2] *= -1  # a reflection: best proper rotation is NOT a mirror
+    R, t, s, err = umeyama_align(src, dst)
+    assert np.linalg.det(R) > 0.99

@@ -195,3 +195,34 @@ def test_map_save_load_padded(tmp_path, rng):
     assert k.shape == (64, 3) and mask.sum() == 50
     k, dc, df, s, mask = m2.padded(32, rng)
     assert k.shape == (32, 3) and mask.all()
+
+
+def test_pair_match_cache_roundtrip(tmp_path, rng):
+    from onepose_st_tpu.sfm import pipeline, tracks as tracks_mod
+
+    pms = [
+        tracks_mod.PairMatches(
+            0, 1,
+            rng.uniform(0, 64, (7, 2)).astype(np.float32),
+            rng.uniform(0, 64, (7, 2)).astype(np.float32),
+            rng.uniform(0.2, 1, 7).astype(np.float32),
+        ),
+        tracks_mod.PairMatches(
+            2, 3,
+            rng.uniform(0, 64, (3, 2)).astype(np.float32),
+            rng.uniform(0, 64, (3, 2)).astype(np.float32),
+            rng.uniform(0.2, 1, 3).astype(np.float32),
+        ),
+    ]
+    path = tmp_path / "matches.npz"
+    pipeline.save_pair_matches(path, pms)
+    loaded = pipeline.load_pair_matches(path)
+    assert len(loaded) == 2
+    for a, b in zip(pms, loaded):
+        assert (a.img_i, a.img_j) == (b.img_i, b.img_j)
+        np.testing.assert_allclose(a.uv_i, b.uv_i)
+        np.testing.assert_allclose(a.uv_j, b.uv_j)
+        np.testing.assert_allclose(a.score, b.score)
+    # empty list round-trips too
+    pipeline.save_pair_matches(tmp_path / "empty.npz", [])
+    assert pipeline.load_pair_matches(tmp_path / "empty.npz") == []
