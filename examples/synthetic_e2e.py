@@ -1,0 +1,200 @@
+"""Full-scale synthetic end-to-end experiment (the demo.sh analogue).
+
+The reference validates itself on the bundled spot_demo scan (demo.sh:1-24);
+this framework's substitute is a synthetic scene where ground truth is known
+by construction: render a splat object -> build the SfM map from
+epipolar-verified matches -> train the 2D-3D matcher -> estimate poses on
+held-out views with RANSAC PnP -> report {1,3,5}cm@{1,3,5}deg pose APs.
+
+Runs on a single TPU chip (or CPU with --preset tiny). Example:
+
+  python examples/synthetic_e2e.py --preset small --steps 2000
+  python examples/synthetic_e2e.py --preset full --steps 8000   # flagship
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_cfg(preset: str):
+    from onepose_st_tpu import config as cfg_lib
+
+    if preset == "full":
+        return cfg_lib.adapt_dtypes(cfg_lib.EngineConfig())
+    if preset == "small":
+        matcher = cfg_lib.MatcherConfig(
+            backbone=cfg_lib.BackboneConfig(initial_dim=32, block_dims=(32, 48, 64)),
+            coarse=cfg_lib.TransformerConfig(d_model=64, nhead=4, layer_iter_n=2),
+            coarse_matching=cfg_lib.CoarseMatchingConfig(
+                max_matches=256, train_pad_num_gt_min=64
+            ),
+            fine=cfg_lib.FineMatchingConfig(window_size=5, d_model=32, nhead=4),
+            kpt_encoding=cfg_lib.KeypointEncodingConfig(hidden=(16, 32), descriptor_dim=64),
+            n_points=512,
+        )
+        return cfg_lib.adapt_dtypes(cfg_lib.EngineConfig(matcher=matcher))
+    # tiny: CPU smoke (coarse d_model == block_dims[-1], fine == block_dims[0])
+    matcher = cfg_lib.MatcherConfig(
+        backbone=cfg_lib.BackboneConfig(initial_dim=16, block_dims=(16, 24, 32), dtype="float32"),
+        coarse=cfg_lib.TransformerConfig(d_model=32, nhead=2, layer_iter_n=1, dtype="float32"),
+        coarse_matching=cfg_lib.CoarseMatchingConfig(max_matches=64, train_pad_num_gt_min=32),
+        fine=cfg_lib.FineMatchingConfig(window_size=5, d_model=16, nhead=2, dtype="float32"),
+        kpt_encoding=cfg_lib.KeypointEncodingConfig(hidden=(8,), descriptor_dim=32),
+        n_points=128,
+    )
+    return cfg_lib.adapt_dtypes(cfg_lib.EngineConfig(matcher=matcher))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", default="small", choices=["tiny", "small", "full"])
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--points", type=int, default=400)
+    ap.add_argument("--image", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_st_tpu import config as cfg_lib
+    from onepose_st_tpu.core import camera
+    from onepose_st_tpu.data import synthetic
+    from onepose_st_tpu.infer.evaluate import evaluate_poses
+    from onepose_st_tpu.models import OnePoseMatcher
+    from onepose_st_tpu.ops import sampling as sampling_ops
+    from onepose_st_tpu.sfm import pairs as pairs_mod, pipeline as sfm_pipeline, tracks as tracks_mod
+    from onepose_st_tpu.solvers import ransac_pnp
+    from onepose_st_tpu.train import data as data_mod, loop as loop_mod
+
+    print(f"devices: {jax.devices()}")
+    cfg = build_cfg(args.preset)
+    rng = np.random.default_rng(args.seed)
+
+    # --- scene + rendering -------------------------------------------------
+    t0 = time.time()
+    scene = synthetic.make_scene(
+        rng, n_points=args.points, n_frames=args.frames,
+        image_hw=(args.image, args.image), focal=1.4 * args.image,
+        object_size=0.25,
+    )
+    frames = synthetic.render_sequence(scene, rng, sigma_px=1.8)
+    n_train = int(args.frames * 0.8)
+    train_ids = np.arange(n_train)
+    eval_ids = np.arange(n_train, args.frames)
+    print(f"rendered {args.frames} frames in {time.time()-t0:.1f}s")
+
+    # --- map building ------------------------------------------------------
+    model = OnePoseMatcher(cfg.matcher)
+    L = cfg.matcher.n_points
+    Cc = cfg.matcher.coarse.d_model
+    Cf = cfg.matcher.fine.d_model
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.asarray(frames[:1, ..., None]),
+        jnp.zeros((1, L, 3)), jnp.zeros((1, L, Cc)), jnp.zeros((1, L, Cf)),
+    )
+
+    feat_cache = {}
+
+    def backbone_feats(i):
+        if i not in feat_cache:
+            feat_cache[i] = model.apply(
+                variables, jnp.asarray(frames[i][None, ..., None]), train=False,
+                method=lambda m, im, train: m.backbone(im, train),
+            )
+        return feat_cache[i]
+
+    def sample_desc(i, uv):
+        fc, ff = backbone_feats(i)
+        dcs = sampling_ops.sample_descriptors(fc, jnp.asarray(uv)[None], 8.0)[0]
+        dfs = sampling_ops.sample_descriptors(ff, jnp.asarray(uv)[None], 2.0)[0]
+        return np.asarray(dcs), np.asarray(dfs)
+
+    pms = []
+    for i, j in pairs_mod.pairs_exhaustive(n_train):
+        vis = scene.visible[int(i)] & scene.visible[int(j)]
+        ids = np.nonzero(vis)[0]
+        if len(ids) < 8:
+            continue
+        noise = rng.normal(size=(len(ids), 2)) * 0.3
+        pms.append(tracks_mod.PairMatches(
+            int(i), int(j),
+            scene.uv[int(i), ids].astype(np.float32),
+            (scene.uv[int(j), ids] + noise).astype(np.float32),
+            np.ones(len(ids), np.float32),
+        ))
+    corners = np.asarray(camera.box3d_corners(jnp.asarray([0.3, 0.3, 0.3])))
+    sfm_map, diag = sfm_pipeline.build_map_from_matches(
+        pms, scene.poses, scene.Ks, cfg, box_corners=corners,
+        sample_descriptors=sample_desc, desc_dims=(Cc, Cf),
+    )
+    print(
+        f"map: {len(sfm_map.keypoints3d)} pts "
+        f"(tracks {diag.n_tracks}, BA {diag.ba_initial_cost:.3f} -> {diag.ba_final_cost:.3f})"
+    )
+
+    # --- training ----------------------------------------------------------
+    batches = data_mod.map_training_batches(
+        sfm_map, frames, scene.poses, scene.Ks, cfg, rng,
+        batch_size=args.batch, frame_ids=train_ids,
+        homography_prob=0.15, photometric="dark",
+    )
+    t0 = time.time()
+    state, history = loop_mod.fit(
+        cfg, model, batches, n_steps=args.steps, log_every=200,
+        log_fn=lambda s, r: print(
+            f"  step {s}: loss {r['loss']:.4f} ({r['steps_per_sec']:.2f} it/s)"
+        ),
+    )
+    print(f"trained {args.steps} steps in {time.time()-t0:.1f}s")
+
+    # --- held-out inference + eval ----------------------------------------
+    trained = {"params": state.params, "batch_stats": state.batch_stats}
+    k, dc, df, s, mask = sfm_map.padded(L)
+    apply = jax.jit(lambda v, im, k_, dc_, df_, m_: model.apply(v, im, k_, dc_, df_, m_))
+    pred_T, gt_T = [], []
+    from scipy.spatial.transform import Rotation
+
+    for t in eval_ids:
+        out = apply(
+            trained, jnp.asarray(frames[t][None, ..., None]),
+            jnp.asarray(k)[None], jnp.asarray(dc)[None],
+            jnp.asarray(df)[None], jnp.asarray(mask)[None],
+        )
+        valid = np.asarray(out["matches"].valid[0])
+        P3 = np.asarray(out["mkpts3d"][0])
+        P2 = np.asarray(out["mkpts_query_f"][0])
+        res = ransac_pnp(
+            jax.random.key(int(t)), jnp.asarray(P3), jnp.asarray(P2),
+            jnp.asarray(scene.Ks[t]), jnp.asarray(valid), cfg.pnp,
+        )
+        T44 = np.eye(4)
+        from onepose_st_tpu.core import so3
+
+        R, tr = so3.pose6_to_Rt(res.pose6)
+        T44[:3, :3] = np.asarray(R)
+        T44[:3, 3] = np.asarray(tr)
+        pred_T.append(T44)
+        G = np.eye(4)
+        G[:3, :3] = Rotation.from_rotvec(scene.poses[t, :3]).as_matrix()
+        G[:3, 3] = scene.poses[t, 3:]
+        gt_T.append(G)
+        print(f"  frame {t}: {int(res.n_inliers)} PnP inliers")
+    rep = evaluate_poses(
+        np.stack(pred_T), np.stack(gt_T), model_points=sfm_map.keypoints3d,
+        K=scene.Ks[0],
+    )
+    print("held-out pose metrics:", rep.row())
+
+
+if __name__ == "__main__":
+    main()

@@ -274,6 +274,7 @@ def match_pairs_loftr(
     images: np.ndarray,        # [F, H, W] or [F, H, W, 1] grayscale in [0,1]
     pairs: np.ndarray,         # [n, 2] int
     batch_size: int = 8,
+    mesh=None,
 ) -> list[tracks_mod.PairMatches]:
     """Run the 2D-2D matcher over the covisibility pairs, batched on device.
 
@@ -281,12 +282,24 @@ def match_pairs_loftr(
     (KeypointFreeSfM/coarse_match/coarse_match_worker.py:48-85): one jitted
     program, pairs packed into fixed-size batches (last batch padded by
     repeating the final pair; duplicates are deduped by the keypoint merge).
+
+    With a `mesh`, each batch is sharded over the mesh's "data" axis and the
+    weights replicated — the pair list fans out across all chips (the
+    reference's multi-GPU Ray pool, as one SPMD program). batch_size is then
+    per-device.
     """
     if images.ndim == 3:
         images = images[..., None]
     n = len(pairs)
     if n == 0:
         return []
+    if mesh is not None:
+        from ..parallel import mesh as mesh_lib
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        batch_size = batch_size * n_dev
+        variables = mesh_lib.replicate_pytree(variables, mesh)
+        batch_spec = mesh_lib.shard_batch(mesh)
     apply = jax.jit(lambda v, a, b: model.apply(v, a, b))
     out_list: list[tracks_mod.PairMatches] = []
     for s in range(0, n, batch_size):
@@ -296,6 +309,9 @@ def match_pairs_loftr(
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
         img0 = jnp.asarray(images[chunk[:, 0]])
         img1 = jnp.asarray(images[chunk[:, 1]])
+        if mesh is not None:
+            img0 = jax.device_put(img0, batch_spec(img0))
+            img1 = jax.device_put(img1, batch_spec(img1))
         out = apply(variables, img0, img1)
         mk0 = np.asarray(out["mkpts0_c"])
         mk1 = np.asarray(out["mkpts1_f"])

@@ -226,3 +226,49 @@ def test_pair_match_cache_roundtrip(tmp_path, rng):
     # empty list round-trips too
     pipeline.save_pair_matches(tmp_path / "empty.npz", [])
     assert pipeline.load_pair_matches(tmp_path / "empty.npz") == []
+
+
+def test_match_pairs_sharded_equals_single(rng):
+    """Mesh-sharded pair matching returns the same matches as unsharded."""
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_st_tpu import config as cfg_lib
+    from onepose_st_tpu.models import LoFTRMatcher
+    from onepose_st_tpu.parallel import make_mesh
+    from onepose_st_tpu.sfm import pipeline
+
+    cfg = cfg_lib.LoFTRConfig(
+        backbone=cfg_lib.BackboneConfig(
+            initial_dim=8, block_dims=(8, 12, 16), dtype="float32"
+        ),
+        coarse=cfg_lib.TransformerConfig(
+            d_model=16, nhead=2, layer_iter_n=1, dtype="float32"
+        ),
+        coarse_matching=cfg_lib.CoarseMatchingConfig(
+            max_matches=32, threshold=0.0
+        ),
+        fine=cfg_lib.FineMatchingConfig(
+            window_size=5, d_model=8, nhead=2, dtype="float32"
+        ),
+    )
+    model = LoFTRMatcher(cfg)
+    F, H, W = 6, 32, 32
+    images = rng.uniform(size=(F, H, W)).astype(np.float32)
+    variables = jax.jit(model.init)(
+        jax.random.key(0),
+        jnp.asarray(images[:1, ..., None]), jnp.asarray(images[:1, ..., None]),
+    )
+    pairs = np.asarray([(i, j) for i in range(F) for j in range(i + 1, F)])
+
+    single = pipeline.match_pairs_loftr(model, variables, images, pairs, batch_size=4)
+    mesh = make_mesh(8)
+    sharded = pipeline.match_pairs_loftr(
+        model, variables, images, pairs, batch_size=1, mesh=mesh
+    )
+    assert len(single) == len(sharded)
+    for a, b in zip(single, sharded):
+        assert (a.img_i, a.img_j) == (b.img_i, b.img_j)
+        np.testing.assert_allclose(a.uv_i, b.uv_i, atol=1e-4)
+        np.testing.assert_allclose(a.uv_j, b.uv_j, atol=1e-3)
+        np.testing.assert_allclose(a.score, b.score, rtol=1e-3, atol=1e-4)
