@@ -96,3 +96,41 @@ def test_export_map(tmp_path, rng):
     colmap_io.export_map(tmp_path / "model", poses, Ks, (480, 640), m)
     cams, imgs, pts = colmap_io.read_model(tmp_path / "model")
     assert len(cams) == 3 and len(imgs) == 3 and len(pts) == 20
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    from onepose_st_tpu.data import ply_io
+
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    cols = rng.integers(0, 256, size=(50, 3)).astype(np.uint8)
+    for binary in [True, False]:
+        p = tmp_path / f"b{binary}.ply"
+        ply_io.save_ply(p, pts, cols, binary=binary)
+        pts2, cols2 = ply_io.load_ply(p)
+        np.testing.assert_allclose(pts2, pts, atol=1e-5)
+        np.testing.assert_array_equal(cols2, cols)
+    # no colors
+    p = tmp_path / "nc.ply"
+    ply_io.save_ply(p, pts, binary=True)
+    pts3, cols3 = ply_io.load_ply(p)
+    np.testing.assert_allclose(pts3, pts, atol=1e-6)
+    assert cols3 is None
+    # CAD subsample
+    sub = ply_io.sample_cad_points(p, n_points=20, rng=rng)
+    assert sub.shape == (20, 3)
+
+
+def test_partition_helpers():
+    from onepose_st_tpu.parallel import partition as pt
+
+    assert pt.chunks(list(range(10)), 3) == [[0, 1, 2], [3, 4, 5, 6], [7, 8, 9]]
+    assert pt.chunks([], 4) == [[]]
+    # chunk_index covers the range exactly once across parts
+    got = np.concatenate([pt.chunk_index(11, 4, p) for p in range(4)])
+    np.testing.assert_array_equal(got, np.arange(11))
+    parts = pt.split_dict({i: i * 2 for i in range(7)}, 2)
+    assert sum(len(p) for p in parts) == 7
+    # single-process host_shard is identity
+    assert pt.host_shard([5, 6, 7], 0, 1) == [5, 6, 7]
+    assert pt.host_shard(list(range(10)), 1, 3) == [3, 4, 5, 6]
+    assert pt.all_gather_host_lists([1, 2]) == [1, 2]
