@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--video", default=None)
     ap.add_argument("--eval", action="store_true",
                     help="report pose APs vs the sequence's GT poses")
+    ap.add_argument("--pose_cache", default=None,
+                    help="npz cache of per-frame estimation results "
+                         "(reference pose_estimation_cache.pkl); reused when "
+                         "present so --refine can rerun alone")
     ap.add_argument("--calib_ckpt", default=None,
                     help="CalibNet checkpoint: infer K from the frames when "
                          "the sequence has no intrinsics (reference "
@@ -105,15 +109,23 @@ def main():
     detector = ObjectDetector(loftr, loftr_vars, db)
     estimator = PoseEstimator(cfg, matcher, variables, sfm_map, detector)
 
-    results = []
-    for f in range(len(seq.images)):
-        r = estimator.estimate(seq.images[f], seq.Ks[f], frame_idx=f)
-        results.append(r)
-        print(
-            f"frame {seq.frame_ids[f]}: inliers {r.n_inliers} "
-            f"{'tracked' if r.tracked else 'detected'} "
-            f"{'ok' if r.success else 'LOST'}"
-        )
+    from ..infer import pipeline as infer_pipeline
+
+    if args.pose_cache and Path(args.pose_cache).exists():
+        results = infer_pipeline.load_results(args.pose_cache)
+        print(f"loaded {len(results)} cached frame results")
+    else:
+        results = []
+        for f in range(len(seq.images)):
+            r = estimator.estimate(seq.images[f], seq.Ks[f], frame_idx=f)
+            results.append(r)
+            print(
+                f"frame {seq.frame_ids[f]}: inliers {r.n_inliers} "
+                f"{'tracked' if r.tracked else 'detected'} "
+                f"{'ok' if r.success else 'LOST'}"
+            )
+        if args.pose_cache:
+            infer_pipeline.save_results(args.pose_cache, results)
 
     final_T = [r.T44 for r in results]
     if args.refine:

@@ -141,3 +141,46 @@ class PoseEstimator:
             tracked=tracked, success=success,
             mkpts3d=mk3d_np, mkpts2d_full=mk2d_full.astype(np.float32),
         )
+
+
+def save_results(path, results: list[FrameResult]) -> None:
+    """Pose-estimation stage cache (role of the reference's
+    pose_estimation_cache.pkl + MKPT pickle, inference.py:128-135,233-235):
+    the temporal-refinement pass can rerun without re-estimating."""
+    import numpy as np
+
+    np.savez_compressed(
+        path,
+        pose6=np.stack([r.pose6 for r in results]) if results else np.zeros((0, 6)),
+        T44=np.stack([r.T44 for r in results]) if results else np.zeros((0, 4, 4)),
+        n_inliers=np.asarray([r.n_inliers for r in results], np.int32),
+        n_matches=np.asarray([r.n_matches for r in results], np.int32),
+        tracked=np.asarray([r.tracked for r in results], bool),
+        success=np.asarray([r.success for r in results], bool),
+        offsets=np.cumsum([0] + [len(r.mkpts3d) for r in results]).astype(np.int64),
+        mkpts3d=(
+            np.concatenate([r.mkpts3d for r in results])
+            if results else np.zeros((0, 3), np.float32)
+        ),
+        mkpts2d_full=(
+            np.concatenate([r.mkpts2d_full for r in results])
+            if results else np.zeros((0, 2), np.float32)
+        ),
+    )
+
+
+def load_results(path) -> list[FrameResult]:
+    import numpy as np
+
+    z = np.load(path)
+    off = z["offsets"]
+    return [
+        FrameResult(
+            pose6=z["pose6"][f], T44=z["T44"][f],
+            n_inliers=int(z["n_inliers"][f]), n_matches=int(z["n_matches"][f]),
+            tracked=bool(z["tracked"][f]), success=bool(z["success"][f]),
+            mkpts3d=z["mkpts3d"][off[f]:off[f + 1]],
+            mkpts2d_full=z["mkpts2d_full"][off[f]:off[f + 1]],
+        )
+        for f in range(len(z["pose6"]))
+    ]

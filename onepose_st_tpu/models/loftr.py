@@ -98,8 +98,8 @@ class LoFTRMatcher(nn.Module):
             conf = None
             # row border mask rides the kernel's point mask
             matches = fused_ops.extract_matches_fused(
-                t0.astype(jnp.float32),
-                t1.astype(jnp.float32),
+                t0,
+                t1,
                 temperature=c.coarse_matching.temperature,
                 threshold=c.coarse_matching.threshold,
                 max_matches=c.coarse_matching.max_matches,

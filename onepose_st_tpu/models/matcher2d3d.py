@@ -102,8 +102,8 @@ class OnePoseMatcher(nn.Module):
             # inference: fused Pallas scoring, conf never materialized
             conf = None
             matches = fused_ops.extract_matches_fused(
-                p_tokens.astype(jnp.float32),
-                q_tokens.astype(jnp.float32),
+                p_tokens,
+                q_tokens,
                 temperature=c.coarse_matching.temperature,
                 threshold=c.coarse_matching.threshold,
                 max_matches=c.coarse_matching.max_matches,

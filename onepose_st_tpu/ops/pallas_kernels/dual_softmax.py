@@ -119,8 +119,12 @@ def _fused_single(feat_p, feat_q, point_mask, temperature: float):
     # features are normalized by sqrt(d) each (reference 'sqrt_feat_dim'),
     # so combined scale is 1/(C * T)
     inv_temp = 1.0 / (C * (temperature + 1e-4))
-    fp = feat_p.astype(jnp.float32)
-    fq = feat_q.astype(jnp.float32)
+    # dtype-preserving: the matcher feeds bf16 activations, so the sim
+    # matmul runs at bf16 MXU rate with f32 accumulation (callers must NOT
+    # up-cast to f32 first — that halves MXU throughput for zero precision,
+    # the information is already bf16); f32 inputs (tests) stay exact.
+    fp = feat_p
+    fq = feat_q.astype(feat_p.dtype)
     maskf = point_mask.astype(jnp.float32).reshape(1, L)
 
     row_spec = pl.BlockSpec((1, TILE_L), lambda i: (0, i), memory_space=pltpu.VMEM)

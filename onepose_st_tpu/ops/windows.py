@@ -32,19 +32,21 @@ def gather_windows(
     """
     B, Hf, Wf, C = feat_f.shape
     Hc, Wc = coarse_hw
+    K = j_ids.shape[1]
     r = Hf // Hc
     pad = window // 2
     padded = jnp.pad(feat_f, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    Hp, Wp = Hf + 2 * pad, Wf + 2 * pad
 
     yc = (j_ids // Wc).astype(jnp.int32)  # [B, K]
     xc = (j_ids % Wc).astype(jnp.int32)
-    # top-left corner in padded coords: y*r - pad + pad = y*r
-    offs = jnp.arange(window, dtype=jnp.int32)
-    rows = yc[..., None] * r + offs[None, None, :]           # [B, K, W]
-    cols = xc[..., None] * r + offs[None, None, :]           # [B, K, W]
-    flat = (
-        rows[..., :, None] * Wp + cols[..., None, :]
-    ).reshape(B, j_ids.shape[1], window * window)            # [B, K, W*W]
-    padded_flat = padded.reshape(B, Hp * Wp, C)
-    return jax.vmap(lambda f, idx: jnp.take(f, idx, axis=0))(padded_flat, flat)
+    # one W x W x C block dynamic-slice per window (top-left corner in
+    # padded coords is y*r, x*r): batched under vmap this lowers to a
+    # single XLA gather with slice_sizes (W, W, C) — W*C-contiguous runs,
+    # much friendlier to HBM than gathering W*W scattered C-rows
+    def slice_one(img, y0, x0):
+        return jax.lax.dynamic_slice(img, (y0, x0, 0), (window, window, C))
+
+    win = jax.vmap(  # over batch
+        jax.vmap(slice_one, in_axes=(None, 0, 0))  # over K windows
+    )(padded, yc * r, xc * r)                      # [B, K, W, W, C]
+    return win.reshape(B, K, window * window, C)

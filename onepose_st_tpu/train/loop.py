@@ -34,11 +34,21 @@ def fit(
     log_fn: Callable[[int, dict], None] | None = None,
     steps_per_epoch: int = 1000,
     init_state: step_lib.TrainState | None = None,
+    val_fn: Callable[[step_lib.TrainState], dict] | None = None,
+    val_every: int = 1000,
+    select_metric: str = "3cm@3degree",
 ) -> tuple[step_lib.TrainState, list[dict]]:
     """Run `n_steps` of training over `batches` (an iterable of host Batches).
 
     Returns (final_state, history). With a mesh, batches are sharded on the
     "data" axis and parameters replicated (XLA inserts the gradient psum).
+
+    val_fn: optional callback returning scalar metrics (e.g. pose APs from
+    infer.evaluate); run every `val_every` steps and at the end, logged into
+    history as val/<k>. When checkpointing, the step whose `select_metric`
+    is best is additionally recorded in ckpt_dir/best.json — the reference's
+    ModelCheckpoint(monitor='3cm@3degree') model selection
+    (OnePose_ST configs/experiment/train.yaml:204-213).
     """
     import jax.numpy as jnp
 
@@ -72,9 +82,24 @@ def fit(
         )
 
     history: list[dict] = []
+    best = {"step": -1, "metric": -float("inf")}
     rng = jax.random.key(seed + 1)
     batch = batch0
     t0 = time.time()
+
+    def run_val(step):
+        metrics = val_fn(state)
+        rec = {f"val/{k}": float(v) for k, v in metrics.items()}
+        rec["step"] = step
+        history.append(rec)
+        if log_fn:
+            log_fn(step, rec)
+        m = metrics.get(select_metric)
+        if m is not None and float(m) > best["metric"]:
+            best.update(step=step, metric=float(m))
+            if ckpt_mgr is not None:
+                ckpt_mgr.save(step, args=_ckpt_args(state))
+
     with mesh:
         for i in range(n_steps):
             rng, sub = jax.random.split(rng)
@@ -90,10 +115,20 @@ def fit(
                 history.append(rec)
                 if log_fn:
                     log_fn(i + 1, rec)
+            if val_fn is not None and (i + 1) % val_every == 0 and i + 1 < n_steps:
+                run_val(i + 1)
             if ckpt_mgr is not None and (i + 1) % ckpt_every == 0:
                 ckpt_mgr.save(
                     i + 1, args=_ckpt_args(state)
                 )
+    if val_fn is not None:
+        run_val(n_steps)
+    if ckpt_dir is not None and best["step"] >= 0:
+        import json
+
+        (Path(ckpt_dir) / "best.json").write_text(
+            json.dumps({"metric": select_metric, **best})
+        )
     if ckpt_mgr is not None:
         ckpt_mgr.save(n_steps, args=_ckpt_args(state))
         ckpt_mgr.wait_until_finished()

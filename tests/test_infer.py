@@ -114,3 +114,34 @@ def test_tracker_identity(rng):
     pts = np.array([[24.0, 24.0], [36.0, 32.0]], np.float32)
     uv1, conf = tracker.track_chain(feats, pts, start=0, target=1)
     assert np.linalg.norm(uv1 - pts, axis=-1).max() < 0.75
+
+
+def test_frame_result_cache_roundtrip(tmp_path, rng):
+    from onepose_st_tpu.infer import pipeline as ip
+
+    results = []
+    for f in range(3):
+        n = int(rng.integers(0, 6))
+        T = np.eye(4, dtype=np.float32)
+        T[2, 3] = 1.0 + f
+        results.append(ip.FrameResult(
+            pose6=rng.normal(size=6).astype(np.float32),
+            T44=T, n_inliers=n, n_matches=n + 2,
+            tracked=f > 0, success=n > 1,
+            mkpts3d=rng.normal(size=(n, 3)).astype(np.float32),
+            mkpts2d_full=rng.uniform(0, 512, size=(n, 2)).astype(np.float32),
+        ))
+    p = tmp_path / "cache.npz"
+    ip.save_results(p, results)
+    loaded = ip.load_results(p)
+    assert len(loaded) == 3
+    for a, b in zip(results, loaded):
+        np.testing.assert_allclose(a.pose6, b.pose6)
+        np.testing.assert_allclose(a.T44, b.T44)
+        assert (a.n_inliers, a.n_matches, a.tracked, a.success) == (
+            b.n_inliers, b.n_matches, b.tracked, b.success
+        )
+        np.testing.assert_allclose(a.mkpts3d, b.mkpts3d)
+        np.testing.assert_allclose(a.mkpts2d_full, b.mkpts2d_full)
+    ip.save_results(tmp_path / "e.npz", [])
+    assert ip.load_results(tmp_path / "e.npz") == []

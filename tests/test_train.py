@@ -135,3 +135,38 @@ def test_train_step_runs_and_descends(rng):
     assert float(scalars["grad_norm"]) > 0
     # overfitting a single fixed batch must reduce the loss
     assert losses_seen[-1] < losses_seen[0]
+
+
+def test_fit_with_validation_hook(tmp_path, rng):
+    """val_fn runs on schedule, logs val/ metrics, tracks best checkpoint."""
+    import jax
+
+    from onepose_st_tpu.train import loop as loop_mod
+
+    cfg = tiny_engine_cfg()
+    model = OnePoseMatcher(cfg.matcher)
+
+    def batches():
+        while True:
+            yield make_batch(rng, cfg)
+
+    batches = batches()
+    calls = []
+
+    def val_fn(state):
+        calls.append(1)
+        return {"3cm@3degree": 0.1 * len(calls), "loss": 1.0}
+
+    state, history = loop_mod.fit(
+        cfg, model, batches, n_steps=6, log_every=3,
+        ckpt_dir=tmp_path / "ck", ckpt_every=100,
+        val_fn=val_fn, val_every=2,
+    )
+    # steps 2, 4 + final 6
+    assert len(calls) == 3
+    vals = [h for h in history if "val/3cm@3degree" in h]
+    assert len(vals) == 3
+    import json
+
+    best = json.loads((tmp_path / "ck" / "best.json").read_text())
+    assert best["step"] == 6 and abs(best["metric"] - 0.3) < 1e-9
