@@ -21,9 +21,15 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--data_dir", required=True,
+    ap.add_argument("--data_dir", default=None,
                     help="object dir containing <seq>-annotate subdirs")
-    ap.add_argument("--out", required=True, help="output SfMMap .npz path")
+    ap.add_argument("--objects_root", default=None,
+                    help="multi-object mode (reference run.py object loop): "
+                         "process every object subdir; with multiple hosts "
+                         "(jax.distributed) each host takes its shard")
+    ap.add_argument("--out", required=True,
+                    help="output SfMMap .npz path (single object) or output "
+                         "dir (--objects_root: one <obj>.npz per object)")
     ap.add_argument("--loftr_ckpt", default=None,
                     help="orbax checkpoint dir for the 2D-2D matcher")
     ap.add_argument("--covis", type=int, default=10)
@@ -52,10 +58,46 @@ def main():
         ),
     )
 
+    if args.objects_root:
+        from ..parallel import partition
+
+        obj_dirs = sorted(
+            d for d in Path(args.objects_root).iterdir()
+            if d.is_dir() and list(d.glob("*-annotate"))
+        )
+        obj_dirs = partition.host_shard(obj_dirs)
+        out_dir = Path(args.out)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        print(f"this host builds {len(obj_dirs)} objects")
+        for obj in obj_dirs:
+            print(f"=== {obj.name}")
+            cache = (
+                out_dir / f"{obj.name}.matches.npz" if args.match_cache else None
+            )
+            _build_object(obj, out_dir / f"{obj.name}.npz", cfg, args, cache)
+        return
+    if not args.data_dir:
+        raise SystemExit("need --data_dir or --objects_root")
+    _build_object(
+        Path(args.data_dir), Path(args.out), cfg, args,
+        Path(args.match_cache) if args.match_cache else None,
+    )
+
+
+def _build_object(data_dir: Path, out_path: Path, cfg, args, cache_path=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import colmap_io, parse_arkit
+    from ..models import LoFTRMatcher
+    from ..ops import sampling as sampling_ops
+    from ..sfm import pairs as pairs_mod, pipeline
+    from ..train.loop import load_checkpoint
+
     # collect all annotate sequences
-    seq_dirs = sorted(Path(args.data_dir).glob("*-annotate"))
+    seq_dirs = sorted(Path(data_dir).glob("*-annotate"))
     if not seq_dirs:
-        raise SystemExit(f"no *-annotate sequences under {args.data_dir}")
+        raise SystemExit(f"no *-annotate sequences under {data_dir}")
     seqs = [parse_arkit.load_sequence(s) for s in seq_dirs]
     images = np.concatenate([s.images[:: args.down_ratio] for s in seqs])
     poses = np.concatenate([s.poses[:: args.down_ratio] for s in seqs])
@@ -82,17 +124,13 @@ def main():
         min_rotation_deg=cfg.sfm.min_rotation_deg,
     )
     print(f"{len(pair_list)} covisibility pairs")
-    if (
-        args.match_cache
-        and Path(args.match_cache).exists()
-        and not args.overwrite_cache
-    ):
-        pms = pipeline.load_pair_matches(args.match_cache)
-        print(f"loaded {len(pms)} pair matches from {args.match_cache}")
+    if cache_path is not None and cache_path.exists() and not args.overwrite_cache:
+        pms = pipeline.load_pair_matches(cache_path)
+        print(f"loaded {len(pms)} pair matches from {cache_path}")
     else:
         pms = pipeline.match_pairs_loftr(model, variables, images, pair_list)
-        if args.match_cache:
-            pipeline.save_pair_matches(args.match_cache, pms)
+        if cache_path is not None:
+            pipeline.save_pair_matches(cache_path, pms)
 
     # descriptor sampling from the 2D-3D matcher's backbone would require a
     # trained matcher; at map build time we sample from the LoFTR backbone
@@ -120,9 +158,9 @@ def main():
     from ..sfm.map import make_reference_db
 
     make_reference_db(sfm_map, images, poses, Ks)  # detector DB views
-    sfm_map.save(args.out)
-    print(f"map: {len(sfm_map.keypoints3d)} points -> {args.out}")
-    if args.export_colmap:
+    sfm_map.save(out_path)
+    print(f"map: {len(sfm_map.keypoints3d)} points -> {out_path}")
+    if args.export_colmap and not args.objects_root:
         colmap_io.export_map(
             args.export_colmap, poses, Ks, images.shape[1:3], sfm_map
         )

@@ -44,6 +44,8 @@ def evaluate_poses(
     success: np.ndarray | None = None,       # [F] bool; failures count as inf
     symmetric: bool = False,
 ) -> EvalReport:
+    if model_points is not None and len(model_points) == 0:
+        model_points = None  # empty map: pose APs only
     F = len(pred_T44)
     r_errs = np.full(F, np.inf)
     t_errs = np.full(F, np.inf)
