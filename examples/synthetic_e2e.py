@@ -113,11 +113,23 @@ def main():
             )
         return feat_cache[i]
 
+    sample_jit = jax.jit(
+        lambda fc, ff, uv: (
+            sampling_ops.sample_descriptors(fc, uv[None], 8.0)[0],
+            sampling_ops.sample_descriptors(ff, uv[None], 2.0)[0],
+        )
+    )
+
     def sample_desc(i, uv):
         fc, ff = backbone_feats(i)
-        dcs = sampling_ops.sample_descriptors(fc, jnp.asarray(uv)[None], 8.0)[0]
-        dfs = sampling_ops.sample_descriptors(ff, jnp.asarray(uv)[None], 2.0)[0]
-        return np.asarray(dcs), np.asarray(dfs)
+        # pad the query count to a power-of-2 bucket: every distinct shape
+        # is a fresh XLA compile, ruinous over the remote-TPU tunnel
+        n = len(uv)
+        cap = 1 << max(int(np.ceil(np.log2(max(n, 16)))), 4)
+        uv_p = np.zeros((cap, 2), np.float32)
+        uv_p[:n] = uv
+        dcs, dfs = sample_jit(fc, ff, jnp.asarray(uv_p))
+        return np.asarray(dcs)[:n], np.asarray(dfs)[:n]
 
     pms = []
     for i, j in pairs_mod.pairs_exhaustive(n_train):

@@ -41,6 +41,10 @@ def main():
                     help="npz stage cache for raw pair matches (role of the "
                          "reference's raw_matches.h5); reused when present")
     ap.add_argument("--overwrite_cache", action="store_true")
+    ap.add_argument("--fine_refine", action="store_true",
+                    help="re-refine track observations with the LoFTR "
+                         "fine-only pass before BA (reference "
+                         "post-optimization fine matcher)")
     args = ap.parse_args()
 
     from .. import config as cfg_lib
@@ -136,6 +140,13 @@ def _build_object(data_dir: Path, out_path: Path, cfg, args, cache_path=None):
     # trained matcher; at map build time we sample from the LoFTR backbone
     feat_cache: dict[int, tuple] = {}
 
+    sample_jit = jax.jit(
+        lambda fc, ff, uv: (
+            sampling_ops.sample_descriptors(fc, uv[None], 8.0)[0],
+            sampling_ops.sample_descriptors(ff, uv[None], 2.0)[0],
+        )
+    )
+
     def sample_desc(img_id, uv):
         if img_id not in feat_cache:
             fc, ff = model.apply(
@@ -145,14 +156,24 @@ def _build_object(data_dir: Path, out_path: Path, cfg, args, cache_path=None):
             )
             feat_cache[img_id] = (fc, ff)
         fc, ff = feat_cache[img_id]
-        dc = sampling_ops.sample_descriptors(fc, jnp.asarray(uv)[None], 8.0)[0]
-        df = sampling_ops.sample_descriptors(ff, jnp.asarray(uv)[None], 2.0)[0]
-        return np.asarray(dc), np.asarray(df)
+        # bucket the query count: each distinct shape is a fresh XLA compile
+        n = len(uv)
+        cap = 1 << max(int(np.ceil(np.log2(max(n, 16)))), 4)
+        uv_p = np.zeros((cap, 2), np.float32)
+        uv_p[:n] = np.asarray(uv)
+        dc, df = sample_jit(fc, ff, jnp.asarray(uv_p))
+        return np.asarray(dc)[:n], np.asarray(df)[:n]
 
+    refine_fn = None
+    if args.fine_refine:
+        refine_fn = lambda assigned: pipeline.refine_track_observations(  # noqa: E731
+            model, variables, images, assigned
+        )
     sfm_map, diag = pipeline.build_map_from_matches(
         pms, poses, Ks, cfg, box_corners=corners,
         sample_descriptors=sample_desc,
         desc_dims=(cfg.loftr.coarse.d_model, cfg.loftr.fine.d_model),
+        refine_observations=refine_fn,
     )
     print(dataclasses.asdict(diag))
     from ..sfm.map import make_reference_db

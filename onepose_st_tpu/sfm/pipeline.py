@@ -104,12 +104,17 @@ def build_map_from_matches(
     box_corners: np.ndarray | None = None,
     sample_descriptors: Callable | None = None,
     desc_dims: tuple[int, int] = (256, 128),
+    refine_observations: Callable | None = None,
 ) -> tuple[SfMMap, SfMDiagnostics]:
     """Geometry spine of map building, starting from raw pair matches.
 
     `sample_descriptors(img_id, uv [N,2]) -> (desc_coarse [N,Cc], desc_fine
     [N,Cf])` pulls backbone features for the descriptor DB; when None the
     map gets zero descriptors (geometry-only tests).
+
+    `refine_observations(assigned) -> assigned` optionally re-refines the
+    per-track observations before triangulation/BA (the reference's
+    post-optimization fine-matching pass — see refine_track_observations).
     """
     sfm_cfg = cfg.sfm
     diag = SfMDiagnostics(n_pairs=len(pair_matches))
@@ -138,6 +143,9 @@ def build_map_from_matches(
             ),
             diag,
         )
+
+    if refine_observations is not None:
+        assigned = refine_observations(assigned)
 
     # 3. DLT triangulation over all observations (ref obs included)
     T = len(assigned.ref_idx)
@@ -363,3 +371,83 @@ def load_pair_matches(path) -> list[tracks_mod.PairMatches]:
         )
         for p in range(len(pair_imgs))
     ]
+
+
+def refine_track_observations(
+    model,
+    variables,
+    images: np.ndarray,                 # [F, H, W] grayscale
+    assigned: tracks_mod.AssignedTracks,
+    batch_pairs: int = 4,
+) -> tracks_mod.AssignedTracks:
+    """Fine-only re-refinement of every track observation (reference
+    post_optimization fine_matcher, matcher_model/fine_match_worker.py:73 +
+    loftr_for_sfm coarse-bypass loftr.py:79-115).
+
+    The merged keypoints are quantized to the coarse grid during track
+    building; this pass re-runs the LoFTR fine stage with the caller-given
+    coarse correspondences (reference-view cell -> observation cell) and
+    replaces kpt1 with the sub-pixel refined positions before triangulation
+    and depth BA.
+    """
+    if images.ndim == 3:
+        images = images[..., None]
+    stride = model.cfg.backbone.coarse_stride
+    H, W = images.shape[1:3]
+    Hc, Wc = H // stride, W // stride
+
+    # group observations by (ref image, obs image) pair
+    per_pair: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    T, M = assigned.obs_idx.shape
+    for t in range(T):
+        ref = int(assigned.ref_idx[t])
+        for m in range(M):
+            if assigned.mask[t, m]:
+                per_pair.setdefault(
+                    (ref, int(assigned.obs_idx[t, m])), []
+                ).append((t, m))
+
+    K_max = max((len(v) for v in per_pair.values()), default=0)
+    if K_max == 0:
+        return assigned
+    K_cap = 1 << int(np.ceil(np.log2(max(K_max, 16))))
+
+    apply = jax.jit(
+        lambda v, a, b, ij: model.apply(v, a, b, fine_ids=ij)["mkpts1_f"]
+    )
+
+    def cell_ids(uv):
+        x = np.clip((uv[:, 0] // stride).astype(np.int64), 0, Wc - 1)
+        y = np.clip((uv[:, 1] // stride).astype(np.int64), 0, Hc - 1)
+        return (y * Wc + x).astype(np.int32)
+
+    kpt1 = assigned.kpt1.copy()
+    items = list(per_pair.items())
+    for s in range(0, len(items), batch_pairs):
+        chunk = items[s : s + batch_pairs]
+        pad_n = batch_pairs - len(chunk)
+        img0 = np.stack(
+            [images[i] for (i, _), _ in chunk]
+            + [images[0]] * pad_n
+        )
+        img1 = np.stack(
+            [images[j] for (_, j), _ in chunk]
+            + [images[0]] * pad_n
+        )
+        i_ids = np.zeros((batch_pairs, K_cap), np.int32)
+        j_ids = np.zeros((batch_pairs, K_cap), np.int32)
+        for b, ((_, _), lst) in enumerate(chunk):
+            uv0 = np.stack([assigned.kpt0[t] for t, _ in lst])
+            uv1 = np.stack([assigned.kpt1[t, m] for t, m in lst])
+            i_ids[b, : len(lst)] = cell_ids(uv0)
+            j_ids[b, : len(lst)] = cell_ids(uv1)
+        refined = np.asarray(
+            apply(
+                variables, jnp.asarray(img0), jnp.asarray(img1),
+                (jnp.asarray(i_ids), jnp.asarray(j_ids)),
+            )
+        )
+        for b, ((_, _), lst) in enumerate(chunk):
+            for k, (t, m) in enumerate(lst):
+                kpt1[t, m] = refined[b, k]
+    return assigned._replace(kpt1=kpt1)

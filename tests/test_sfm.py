@@ -272,3 +272,63 @@ def test_match_pairs_sharded_equals_single(rng):
         np.testing.assert_allclose(a.uv_i, b.uv_i, atol=1e-4)
         np.testing.assert_allclose(a.uv_j, b.uv_j, atol=1e-3)
         np.testing.assert_allclose(a.score, b.score, rtol=1e-3, atol=1e-4)
+
+
+def test_refine_track_observations_mechanics(rng):
+    """Fine-only refinement stays inside the window around the coarse cell
+    and preserves the assigned-track structure."""
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_st_tpu import config as cfg_lib
+    from onepose_st_tpu.models import LoFTRMatcher
+    from onepose_st_tpu.sfm import pipeline, tracks as tracks_mod
+
+    cfg = cfg_lib.LoFTRConfig(
+        backbone=cfg_lib.BackboneConfig(
+            initial_dim=8, block_dims=(8, 12, 16), dtype="float32"
+        ),
+        coarse=cfg_lib.TransformerConfig(
+            d_model=16, nhead=2, layer_iter_n=1, dtype="float32"
+        ),
+        coarse_matching=cfg_lib.CoarseMatchingConfig(max_matches=32),
+        fine=cfg_lib.FineMatchingConfig(
+            window_size=5, d_model=8, nhead=1, attention="full", dtype="float32"
+        ),
+    )
+    model = LoFTRMatcher(cfg)
+    F, H, W = 4, 64, 64
+    images = rng.uniform(size=(F, H, W)).astype(np.float32)
+    variables = jax.jit(model.init)(
+        jax.random.key(0),
+        jnp.asarray(images[:1, ..., None]), jnp.asarray(images[:1, ..., None]),
+    )
+
+    T, M = 6, 3
+    assigned = tracks_mod.AssignedTracks(
+        ref_idx=rng.integers(0, F, T).astype(np.int32),
+        kpt0=rng.uniform(8, 56, size=(T, 2)).astype(np.float32),
+        obs_idx=rng.integers(0, F, (T, M)).astype(np.int32),
+        kpt1=rng.uniform(8, 56, size=(T, M, 2)).astype(np.float32),
+        mask=rng.uniform(size=(T, M)) < 0.7,
+        obs_kpt_ids=np.zeros((T, M), np.int32),
+        ref_kpt_ids=np.zeros(T, np.int32),
+        keyframes=np.arange(F, dtype=np.int32),
+    )
+    out = pipeline.refine_track_observations(model, variables, images, assigned)
+    assert out.kpt1.shape == assigned.kpt1.shape
+    np.testing.assert_array_equal(out.mask, assigned.mask)
+    np.testing.assert_allclose(out.kpt0, assigned.kpt0)
+    stride = cfg.backbone.coarse_stride
+    r = cfg.fine.window_size // 2 * cfg.backbone.fine_stride
+    for t in range(T):
+        for m in range(M):
+            if not assigned.mask[t, m]:
+                # untouched slots keep their values
+                np.testing.assert_allclose(
+                    out.kpt1[t, m], assigned.kpt1[t, m]
+                )
+                continue
+            # refined point lies within the fine window of the coarse cell
+            cell = (assigned.kpt1[t, m] // stride) * stride
+            assert np.all(np.abs(out.kpt1[t, m] - cell) <= stride + r + 1e-3)
