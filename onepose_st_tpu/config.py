@@ -174,6 +174,11 @@ class SfMConfig:
     # BA
     ba_max_iters: int = 32
     ba_huber_px: float = 2.0
+    # optional extrinsics+points global BA after the depth-only stage
+    # (reference sfm_utils/global_ba.py `colmap bundle_adjuster` with
+    # refine_extrinsics=1, intrinsics fixed); first two frames gauge-fixed
+    enable_global_ba: bool = False
+    global_ba_max_iters: int = 16
     # post-filter: merge map points closer than this (meters). Duplicate
     # points split dual-softmax probability mass at inference, so this also
     # acts on matcher confidence calibration.

@@ -204,6 +204,31 @@ def build_map_from_matches(
         camera_ops.cam_to_world(jnp.asarray(p_cam_ref), jnp.asarray(ref_pose))
     )
 
+    # 4b. optional global BA: extrinsics + points refined jointly, first
+    # two frames gauge-fixed, intrinsics held (reference global_ba.py
+    # bundle_adjuster settings). Scan poses are usually AR-tracked and
+    # good, so this is opt-in like the reference's.
+    if sfm_cfg.enable_global_ba:
+        from .ba.bundle import BundleProblem, solve_bundle
+
+        fixed = np.zeros(len(poses), bool)
+        fixed[: min(2, len(poses))] = True
+        gprob = BundleProblem(
+            Ks=jnp.asarray(Ks),
+            obs_frame=jnp.asarray(obs_frame),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_mask=jnp.asarray(obs_mask & tri_valid[:, None]),
+            fixed_pose=jnp.asarray(fixed),
+            huber_px=sfm_cfg.ba_huber_px,
+        )
+        new_poses, new_points, ginfo = solve_bundle(
+            jnp.asarray(poses), jnp.asarray(points), gprob,
+            max_iters=sfm_cfg.global_ba_max_iters,
+        )
+        poses = np.asarray(new_poses)
+        points = np.asarray(new_points)
+        diag.ba_final_cost = float(ginfo.final_cost)
+
     # 5. filters: triangulation validity, bbox, track length, merge
     track_len = obs_mask.sum(axis=1)
     keep = tri_valid.copy()

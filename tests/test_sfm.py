@@ -332,3 +332,51 @@ def test_refine_track_observations_mechanics(rng):
             # refined point lies within the fine window of the coarse cell
             cell = (assigned.kpt1[t, m] // stride) * stride
             assert np.all(np.abs(out.kpt1[t, m] - cell) <= stride + r + 1e-3)
+
+
+def test_build_map_with_global_ba(rng):
+    """Global BA recovers perturbed scan poses inside the map pipeline."""
+    from onepose_st_tpu import config as cfg_lib
+    from onepose_st_tpu.data import synthetic
+    from onepose_st_tpu.sfm import pipeline, tracks as tracks_mod
+    from onepose_st_tpu.sfm.pairs import pairs_exhaustive
+
+    cfg = cfg_lib.EngineConfig()
+    cfg = cfg_lib.replace(
+        cfg, sfm=cfg_lib.replace(
+            cfg.sfm, enable_global_ba=True, merge_radius=1e-4
+        )
+    )
+    scene = synthetic.make_scene(rng, n_points=80, n_frames=8)
+    pms = []
+    for i, j in pairs_exhaustive(len(scene.poses)):
+        vis = scene.visible[int(i)] & scene.visible[int(j)]
+        ids = np.nonzero(vis)[0]
+        if len(ids) < 8:
+            continue
+        pms.append(tracks_mod.PairMatches(
+            int(i), int(j),
+            scene.uv[int(i), ids].astype(np.float32),
+            scene.uv[int(j), ids].astype(np.float32),
+            np.ones(len(ids), np.float32),
+        ))
+    # perturb the later poses: global BA should still produce a low-error map
+    poses_noisy = scene.poses.copy()
+    poses_noisy[2:, 3:] += rng.normal(size=(len(scene.poses) - 2, 3)).astype(np.float32) * 0.002
+    m_ba, diag_ba = pipeline.build_map_from_matches(
+        pms, poses_noisy, scene.Ks, cfg
+    )
+    cfg_off = cfg_lib.replace(
+        cfg, sfm=cfg_lib.replace(cfg.sfm, enable_global_ba=False)
+    )
+    m_off, diag_off = pipeline.build_map_from_matches(
+        pms, poses_noisy, scene.Ks, cfg_off
+    )
+    assert len(m_ba.keypoints3d) > 30
+    # map points should sit closer to the true surface with global BA
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(scene.points)
+    d_ba, _ = tree.query(m_ba.keypoints3d)
+    d_off, _ = tree.query(m_off.keypoints3d)
+    assert np.median(d_ba) <= np.median(d_off) + 1e-5
