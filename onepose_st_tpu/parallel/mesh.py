@@ -53,3 +53,46 @@ def shard_pytree(tree, mesh: Mesh, axis: str = "data"):
 def replicate_pytree(tree, mesh: Mesh):
     rep = replicate(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bootstrap (the reference's SLURM/Ray head-address dance,
+    run.py:69-70 + comm.py, as one call): on TPU pods with no args this
+    auto-discovers from the environment; explicit args support CPU/GPU
+    clusters. Safe to call once per process before building meshes.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError) as e:
+        # single-process run (no coordinator in env): a no-op by design
+        if coordinator_address is not None:
+            raise
+        import logging
+
+        logging.getLogger(__name__).debug("single-process run: %s", e)
+
+
+def global_mesh(axes: tuple[str, ...] = ("data",)) -> Mesh:
+    """Mesh over ALL devices across hosts (call initialize_distributed
+    first on multi-host)."""
+    devs = np.asarray(jax.devices())
+    if len(axes) == 1:
+        shape = (len(devs),)
+    else:
+        shape = (len(devs),) + (1,) * (len(axes) - 1)
+    return Mesh(devs.reshape(shape), axes)
