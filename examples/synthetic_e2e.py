@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--image", type=int, default=256)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval_train", action="store_true",
+                    help="also evaluate 4 training views (mechanics check)")
+    ap.add_argument("--split", default="interleave",
+                    choices=["interleave", "tail"])
     args = ap.parse_args()
 
     import jax
@@ -71,7 +75,6 @@ def main():
     from onepose_st_tpu.data import synthetic
     from onepose_st_tpu.infer.evaluate import evaluate_poses
     from onepose_st_tpu.models import OnePoseMatcher
-    from onepose_st_tpu.ops import sampling as sampling_ops
     from onepose_st_tpu.sfm import pairs as pairs_mod, pipeline as sfm_pipeline, tracks as tracks_mod
     from onepose_st_tpu.solvers import ransac_pnp
     from onepose_st_tpu.train import data as data_mod, loop as loop_mod
@@ -88,9 +91,17 @@ def main():
         object_size=0.25,
     )
     frames = synthetic.render_sequence(scene, rng, sigma_px=1.8)
-    n_train = int(args.frames * 0.8)
-    train_ids = np.arange(n_train)
-    eval_ids = np.arange(n_train, args.frames)
+    if args.split == "interleave":
+        # held-out = every 5th view: novel frames with covered viewpoints,
+        # the reference's scenario (test video around the scanned object)
+        eval_ids = np.arange(2, args.frames, 5)
+        train_ids = np.setdiff1d(np.arange(args.frames), eval_ids)
+    else:  # 'tail': viewpoint extrapolation (much harder)
+        n_train = int(args.frames * 0.8)
+        train_ids = np.arange(n_train)
+        eval_ids = np.arange(n_train, args.frames)
+    if args.eval_train:
+        eval_ids = np.concatenate([train_ids[:4], eval_ids])
     print(f"rendered {args.frames} frames in {time.time()-t0:.1f}s")
 
     # --- map building ------------------------------------------------------
@@ -103,33 +114,7 @@ def main():
         jnp.zeros((1, L, 3)), jnp.zeros((1, L, Cc)), jnp.zeros((1, L, Cf)),
     )
 
-    feat_cache = {}
-
-    def backbone_feats(i):
-        if i not in feat_cache:
-            feat_cache[i] = model.apply(
-                variables, jnp.asarray(frames[i][None, ..., None]), train=False,
-                method=lambda m, im, train: m.backbone(im, train),
-            )
-        return feat_cache[i]
-
-    sample_jit = jax.jit(
-        lambda fc, ff, uv: (
-            sampling_ops.sample_descriptors(fc, uv[None], 8.0)[0],
-            sampling_ops.sample_descriptors(ff, uv[None], 2.0)[0],
-        )
-    )
-
-    def sample_desc(i, uv):
-        fc, ff = backbone_feats(i)
-        # pad the query count to a power-of-2 bucket: every distinct shape
-        # is a fresh XLA compile, ruinous over the remote-TPU tunnel
-        n = len(uv)
-        cap = 1 << max(int(np.ceil(np.log2(max(n, 16)))), 4)
-        uv_p = np.zeros((cap, 2), np.float32)
-        uv_p[:n] = uv
-        dcs, dfs = sample_jit(fc, ff, jnp.asarray(uv_p))
-        return np.asarray(dcs)[:n], np.asarray(dfs)[:n]
+    sample_desc = sfm_pipeline.make_descriptor_sampler(model, variables, frames)
 
     pms = []
     for i, j in pairs_mod.pairs_exhaustive(n_train):

@@ -15,6 +15,9 @@ import numpy as np
 
 NUM_BINS_DEFAULT = 256
 
+# per-model jitted apply (see calibrate_image)
+_APPLY_CACHE: dict[int, object] = {}
+
 
 def bin_centers(num_bins: int = NUM_BINS_DEFAULT) -> dict[str, np.ndarray]:
     """Bin-center tables (reference demo.py:69-77, densenet.py:42-58)."""
@@ -134,7 +137,12 @@ def calibrate_image(
     ).astype(np.float32)
     if img.max() > 1.5:
         img = img / 255.0
-    pred = jax.jit(model.apply)(variables, jnp.asarray(img[None]))
+    # cache the jitted apply per model so a clip of N frames compiles once
+    fn = _APPLY_CACHE.get(id(model))
+    if fn is None:
+        fn = jax.jit(model.apply)
+        _APPLY_CACHE[id(model)] = fn
+    pred = fn(variables, jnp.asarray(img[None]))
     return decode_bins(
         {k: np.asarray(v)[0] for k, v in pred.items()}, h, w,
         force_pinhole=force_pinhole,

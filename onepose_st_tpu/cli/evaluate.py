@@ -47,6 +47,23 @@ def main():
     matcher = OnePoseMatcher(cfg.matcher)
     loftr = LoFTRMatcher(cfg.loftr)
     variables = load_checkpoint(args.matcher_ckpt) if args.matcher_ckpt else None
+    # init caches keyed by image shape: sequences usually share crop sizes,
+    # so both models initialize (and compile) once for the whole run
+    matcher_init = jax.jit(matcher.init)
+    loftr_init = jax.jit(loftr.init)
+    init_cache: dict[tuple, tuple] = {}
+
+    def get_variables(image_hw):
+        if image_hw not in init_cache:
+            L = cfg.matcher.n_points
+            zi = jnp.zeros((1, *image_hw, 1))
+            m_vars = variables if variables is not None else matcher_init(
+                jax.random.key(0), zi, jnp.zeros((1, L, 3)),
+                jnp.zeros((1, L, cfg.matcher.coarse.d_model)),
+                jnp.zeros((1, L, cfg.matcher.fine.d_model)),
+            )
+            init_cache[image_hw] = (m_vars, loftr_init(jax.random.key(1), zi, zi))
+        return init_cache[image_hw]
 
     rows = []
     all_r, all_t = [], []
@@ -55,20 +72,7 @@ def main():
         seq_dirs = e.val_seq_dirs if args.split == "val" else e.train_seq_dirs
         for seq_dir in seq_dirs:
             seq = parse_arkit.load_sequence(seq_dir)
-            L = cfg.matcher.n_points
-            if variables is None:
-                vars_obj = jax.jit(matcher.init)(
-                    jax.random.key(0), jnp.asarray(seq.images[:1, ..., None]),
-                    jnp.zeros((1, L, 3)),
-                    jnp.zeros((1, L, cfg.matcher.coarse.d_model)),
-                    jnp.zeros((1, L, cfg.matcher.fine.d_model)),
-                )
-            else:
-                vars_obj = variables
-            loftr_vars = jax.jit(loftr.init)(
-                jax.random.key(1), jnp.asarray(seq.images[:1, ..., None]),
-                jnp.asarray(seq.images[:1, ..., None]),
-            )
+            vars_obj, loftr_vars = get_variables(tuple(seq.images.shape[1:3]))
             if sfm_map.ref_images is not None:
                 db = DetectorDB(
                     images=sfm_map.ref_images.astype(np.float32) / 255.0,
@@ -108,7 +112,7 @@ def main():
                 gt_T.append(T)
             rep = evaluate_poses(
                 np.stack(final_T), np.stack(gt_T),
-                model_points=sfm_map.keypoints3d, K=seq.Ks[0],
+                model_points=sfm_map.keypoints3d, K=seq.Ks,
                 success=np.asarray([r.success for r in results]),
             )
             rows.append((e.name, seq_dir, rep))

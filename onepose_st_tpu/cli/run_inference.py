@@ -53,7 +53,15 @@ def main():
 
     cfg = cfg_lib.adapt_dtypes(cfg_lib.EngineConfig())
     sfm_map = SfMMap.load(args.map)
-    seq = parse_arkit.load_sequence(args.data_dir, pose_dir="poses", intrin_dir="intrin")
+    # layout auto-detect: ARKit test sequences carry poses/ + intrin/ (crop
+    # K); LINEMOD sequences only poses_ba/ + intrin_ba/ (also the crop K)
+    if (Path(args.data_dir) / "poses").is_dir():
+        pose_dir, intrin_dir = "poses", "intrin"
+    else:
+        pose_dir, intrin_dir = "poses_ba", "intrin_ba"
+    seq = parse_arkit.load_sequence(
+        args.data_dir, pose_dir=pose_dir, intrin_dir=intrin_dir
+    )
 
     if args.calib_ckpt:
         from ..calib import CalibNet, infer_K
@@ -146,7 +154,7 @@ def main():
         rep = evaluate_poses(
             np.stack(final_T), np.stack(gt_T),
             model_points=sfm_map.keypoints3d,
-            K=seq.Ks[0],
+            K=seq.Ks,
             success=np.asarray([r.success for r in results]),
         )
         print(rep.row())

@@ -48,11 +48,6 @@ def main():
     args = ap.parse_args()
 
     from .. import config as cfg_lib
-    from ..data import colmap_io, parse_arkit
-    from ..models import LoFTRMatcher
-    from ..ops import sampling as sampling_ops
-    from ..sfm import pairs as pairs_mod, pipeline
-    from ..train.loop import load_checkpoint
 
     cfg = cfg_lib.adapt_dtypes(cfg_lib.EngineConfig())
     cfg = cfg_lib.replace(
@@ -94,7 +89,6 @@ def _build_object(data_dir: Path, out_path: Path, cfg, args, cache_path=None):
 
     from ..data import colmap_io, parse_arkit
     from ..models import LoFTRMatcher
-    from ..ops import sampling as sampling_ops
     from ..sfm import pairs as pairs_mod, pipeline
     from ..train.loop import load_checkpoint
 
@@ -138,31 +132,7 @@ def _build_object(data_dir: Path, out_path: Path, cfg, args, cache_path=None):
 
     # descriptor sampling from the 2D-3D matcher's backbone would require a
     # trained matcher; at map build time we sample from the LoFTR backbone
-    feat_cache: dict[int, tuple] = {}
-
-    sample_jit = jax.jit(
-        lambda fc, ff, uv: (
-            sampling_ops.sample_descriptors(fc, uv[None], 8.0)[0],
-            sampling_ops.sample_descriptors(ff, uv[None], 2.0)[0],
-        )
-    )
-
-    def sample_desc(img_id, uv):
-        if img_id not in feat_cache:
-            fc, ff = model.apply(
-                variables, jnp.asarray(images[img_id][None, ..., None]),
-                train=False,
-                method=lambda m, im, train: m.backbone(im, train),
-            )
-            feat_cache[img_id] = (fc, ff)
-        fc, ff = feat_cache[img_id]
-        # bucket the query count: each distinct shape is a fresh XLA compile
-        n = len(uv)
-        cap = 1 << max(int(np.ceil(np.log2(max(n, 16)))), 4)
-        uv_p = np.zeros((cap, 2), np.float32)
-        uv_p[:n] = np.asarray(uv)
-        dc, df = sample_jit(fc, ff, jnp.asarray(uv_p))
-        return np.asarray(dc)[:n], np.asarray(df)[:n]
+    sample_desc = pipeline.make_descriptor_sampler(model, variables, images)
 
     refine_fn = None
     if args.fine_refine:

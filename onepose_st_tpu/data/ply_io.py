@@ -67,10 +67,11 @@ def load_ply(path: str | Path) -> tuple[np.ndarray, np.ndarray | None]:
         fmt = "ascii"
         in_vertex = False
         while True:
-            line = f.readline().decode("ascii", "replace").strip()
+            raw = f.readline()
+            if raw == b"":  # EOF before end_header: malformed/truncated
+                raise ValueError("truncated PLY header (no end_header)")
+            line = raw.decode("ascii", "replace").strip()
             if not line:
-                if line == "" and f.tell() == 0:
-                    raise ValueError("empty file")
                 continue
             parts = line.split()
             if parts[0] == "format":

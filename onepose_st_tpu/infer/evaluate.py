@@ -40,7 +40,7 @@ def evaluate_poses(
     pred_T44: np.ndarray,       # [F, 4, 4]
     gt_T44: np.ndarray,         # [F, 4, 4]
     model_points: np.ndarray | None = None,  # [P, 3] for ADD / proj2D
-    K: np.ndarray | None = None,
+    K: np.ndarray | None = None,             # [3, 3] or per-frame [F, 3, 3]
     success: np.ndarray | None = None,       # [F] bool; failures count as inf
     symmetric: bool = False,
 ) -> EvalReport:
@@ -63,8 +63,9 @@ def evaluate_poses(
                 model_points, diameter, pred_T44[f], gt_T44[f], symmetric=symmetric
             )
             if K is not None:
+                K_f = K[f] if np.asarray(K).ndim == 3 else K
                 projs[f] = metrics.projection_2d_error(
-                    model_points, pred_T44[f], gt_T44[f], K
+                    model_points, pred_T44[f], gt_T44[f], K_f
                 )
     finite = np.isfinite(r_errs)
     return EvalReport(

@@ -67,7 +67,12 @@ def initialize_distributed(
     """
     import jax
 
-    if jax.process_count() > 1:
+    # NB: must not touch any backend-initializing jax API here
+    # (jax.process_count() would initialize XLA and make
+    # jax.distributed.initialize unconditionally fail afterwards)
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     kwargs = {}
     if coordinator_address is not None:
@@ -79,12 +84,16 @@ def initialize_distributed(
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError) as e:
-        # single-process run (no coordinator in env): a no-op by design
         if coordinator_address is not None:
             raise
+        # single-process run (no coordinator in env): a no-op by design —
+        # but surface late calls so silent single-host fallback is visible
         import logging
 
-        logging.getLogger(__name__).debug("single-process run: %s", e)
+        logging.getLogger(__name__).warning(
+            "jax.distributed not initialized (%s); continuing single-process",
+            e,
+        )
 
 
 def global_mesh(axes: tuple[str, ...] = ("data",)) -> Mesh:

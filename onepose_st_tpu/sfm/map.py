@@ -110,11 +110,23 @@ def select_reference_views(
     ang = np.arccos(np.clip((tr - 1) / 2, -1, 1))
     chosen = [0]
     mind = ang[0].copy()
+    mind[0] = -1.0  # never re-pick a chosen view
     for _ in range(n_views - 1):
         nxt = int(np.argmax(mind))
+        if mind[nxt] <= 0:
+            # rotation diversity exhausted (e.g. pure-translation scan):
+            # fall back to even spacing over the remaining frames
+            remaining = np.setdiff1d(np.arange(F), chosen)
+            extra = remaining[
+                np.linspace(0, len(remaining) - 1, n_views - len(chosen))
+                .round().astype(int)
+            ]
+            chosen.extend(int(e) for e in extra)
+            break
         chosen.append(nxt)
         mind = np.minimum(mind, ang[nxt])
-    return np.asarray(sorted(chosen), np.int64)
+        mind[nxt] = -1.0
+    return np.asarray(sorted(set(chosen)), np.int64)
 
 
 def make_reference_db(

@@ -476,3 +476,37 @@ def refine_track_observations(
             for k, (t, m) in enumerate(lst):
                 kpt1[t, m] = refined[b, k]
     return assigned._replace(kpt1=kpt1)
+
+
+def make_descriptor_sampler(model, variables, images: np.ndarray):
+    """Build the `sample_descriptors(img_id, uv)` callable for
+    build_map_from_matches from a matcher's backbone: per-image feature
+    cache + power-of-2 bucketing of the query count (every distinct query
+    shape is a fresh XLA compile — ruinous over a remote-TPU link)."""
+    if images.ndim == 3:
+        images = images[..., None]
+    cs = float(model.cfg.backbone.coarse_stride)
+    fs = float(model.cfg.backbone.fine_stride)
+    feat_cache: dict[int, tuple] = {}
+    sample_jit = jax.jit(
+        lambda fc, ff, uv: (
+            sampling_ops.sample_descriptors(fc, uv[None], cs)[0],
+            sampling_ops.sample_descriptors(ff, uv[None], fs)[0],
+        )
+    )
+
+    def sample_desc(img_id: int, uv: np.ndarray):
+        if img_id not in feat_cache:
+            feat_cache[img_id] = model.apply(
+                variables, jnp.asarray(images[img_id][None]), train=False,
+                method=lambda m, im, train: m.backbone(im, train),
+            )
+        fc, ff = feat_cache[img_id]
+        n = len(uv)
+        cap = 1 << max(int(np.ceil(np.log2(max(n, 16)))), 4)
+        uv_p = np.zeros((cap, 2), np.float32)
+        uv_p[:n] = np.asarray(uv)
+        dc, df = sample_jit(fc, ff, jnp.asarray(uv_p))
+        return np.asarray(dc)[:n], np.asarray(df)[:n]
+
+    return sample_desc

@@ -104,6 +104,17 @@ def multi_object_batches(
     L = cfg.matcher.n_points
     clouds = [m.padded(L, rng) for m, _, _, _ in objects]
     n_obj = len(objects)
+    # static-shape batches need homogeneous objects; fail loudly up front
+    hw0 = objects[0][1].shape[1:3]
+    dims0 = (clouds[0][1].shape[1], clouds[0][2].shape[1])
+    for o, (_, frames, _, _) in enumerate(objects):
+        dims = (clouds[o][1].shape[1], clouds[o][2].shape[1])
+        if frames.shape[1:3] != hw0 or dims != dims0:
+            raise ValueError(
+                f"object {o}: image {frames.shape[1:3]} / desc dims {dims} "
+                f"differ from object 0 ({hw0} / {dims0}); re-parse to a "
+                "common crop size for multi-object training"
+            )
     while True:
         obj_sel = rng.integers(0, n_obj, size=batch_size)
         imgs = np.empty(

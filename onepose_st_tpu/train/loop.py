@@ -73,6 +73,7 @@ def fit(
     )
 
     ckpt_mgr = None
+    best_mgr = None
     if ckpt_dir is not None:
         import orbax.checkpoint as ocp
 
@@ -80,6 +81,14 @@ def fit(
             Path(ckpt_dir).absolute(),
             options=ocp.CheckpointManagerOptions(max_to_keep=3),
         )
+        if val_fn is not None:
+            # separate manager so periodic max_to_keep GC can never delete
+            # the best-metric checkpoint (loads via
+            # load_checkpoint(ckpt_dir + "/best"))
+            best_mgr = ocp.CheckpointManager(
+                Path(ckpt_dir).absolute() / "best",
+                options=ocp.CheckpointManagerOptions(max_to_keep=1),
+            )
 
     history: list[dict] = []
     best = {"step": -1, "metric": -float("inf")}
@@ -97,8 +106,8 @@ def fit(
         m = metrics.get(select_metric)
         if m is not None and float(m) > best["metric"]:
             best.update(step=step, metric=float(m))
-            if ckpt_mgr is not None:
-                ckpt_mgr.save(step, args=_ckpt_args(state))
+            if best_mgr is not None:
+                best_mgr.save(step, args=_ckpt_args(state))
 
     with mesh:
         for i in range(n_steps):
@@ -132,6 +141,8 @@ def fit(
     if ckpt_mgr is not None:
         ckpt_mgr.save(n_steps, args=_ckpt_args(state))
         ckpt_mgr.wait_until_finished()
+    if best_mgr is not None:
+        best_mgr.wait_until_finished()
     if ckpt_dir is not None and history:
         # scalar history as JSONL next to the checkpoints (the role of the
         # reference's CSV logger, configs/experiment/train.yaml:218-228)
