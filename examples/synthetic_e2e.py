@@ -75,7 +75,7 @@ def main():
     from onepose_st_tpu.data import synthetic
     from onepose_st_tpu.infer.evaluate import evaluate_poses
     from onepose_st_tpu.models import OnePoseMatcher
-    from onepose_st_tpu.sfm import pairs as pairs_mod, pipeline as sfm_pipeline, tracks as tracks_mod
+    from onepose_st_tpu.sfm import pipeline as sfm_pipeline, tracks as tracks_mod
     from onepose_st_tpu.solvers import ransac_pnp
     from onepose_st_tpu.train import data as data_mod, loop as loop_mod
 
@@ -117,16 +117,21 @@ def main():
     sample_desc = sfm_pipeline.make_descriptor_sampler(model, variables, frames)
 
     pms = []
-    for i, j in pairs_mod.pairs_exhaustive(n_train):
-        vis = scene.visible[int(i)] & scene.visible[int(j)]
+    train_pairs = [
+        (int(train_ids[a]), int(train_ids[b]))
+        for a in range(len(train_ids))
+        for b in range(a + 1, len(train_ids))
+    ]
+    for i, j in train_pairs:
+        vis = scene.visible[i] & scene.visible[j]
         ids = np.nonzero(vis)[0]
         if len(ids) < 8:
             continue
         noise = rng.normal(size=(len(ids), 2)) * 0.3
         pms.append(tracks_mod.PairMatches(
-            int(i), int(j),
-            scene.uv[int(i), ids].astype(np.float32),
-            (scene.uv[int(j), ids] + noise).astype(np.float32),
+            i, j,
+            scene.uv[i, ids].astype(np.float32),
+            (scene.uv[j, ids] + noise).astype(np.float32),
             np.ones(len(ids), np.float32),
         ))
     corners = np.asarray(camera.box3d_corners(jnp.asarray([0.3, 0.3, 0.3])))

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--batch", type=int, default=4, help="per-device batch")
     ap.add_argument("--seed", type=int, default=12345)
+    ap.add_argument("--val_every", type=int, default=1000,
+                    help="pose-AP validation cadence (multi-object mode; "
+                         "best ckpt by 3cm@3degree like the reference)")
+    ap.add_argument("--val_frames", type=int, default=16)
     args = ap.parse_args()
 
     import jax
@@ -45,16 +49,23 @@ def main():
     rng = np.random.default_rng(args.seed)
     model = OnePoseMatcher(cfg.matcher)
 
+    val_fn = None
     if args.data_index:
         from ..data import annotations as anno
 
-        objects = anno.load_training_objects(anno.load_index(args.data_index))
+        entries = anno.load_index(args.data_index)
+        objects = anno.load_training_objects(entries)
         n_frames = sum(len(o[1]) for o in objects)
         print(f"{len(objects)} objects, {n_frames} training frames")
         batches = data_mod.multi_object_batches(
             objects, cfg, rng, batch_size=args.batch * n_dev,
             homography_prob=0.2, photometric="dark",
         )
+        val_objects = anno.load_training_objects(entries, split="val")
+        if val_objects:
+            val_fn = _make_val_fn(
+                cfg, model, val_objects, n_frames=args.val_frames
+            )
     else:
         if not (args.data_dir and args.map):
             raise SystemExit("need --data_index, or --data_dir with --map")
@@ -69,16 +80,78 @@ def main():
             sfm_map, frames, poses, Ks, cfg, rng,
             batch_size=args.batch * n_dev, augment_brightness=0.1,
         )
+    def log_fn(s, r):
+        if "loss" in r:
+            print(
+                f"step {s}: loss {r['loss']:.4f} "
+                f"(coarse {r['loss_coarse']:.4f} fine {r['loss_fine']:.4f}) "
+                f"{r['steps_per_sec']:.2f} it/s"
+            )
+        else:
+            print(f"step {s}: {r}")
+
     state, history = loop_mod.fit(
         cfg, model, batches, n_steps=args.steps, mesh=mesh,
-        ckpt_dir=args.ckpt_dir, log_every=100,
-        log_fn=lambda s, r: print(
-            f"step {s}: loss {r['loss']:.4f} "
-            f"(coarse {r['loss_coarse']:.4f} fine {r['loss_fine']:.4f}) "
-            f"{r['steps_per_sec']:.2f} it/s"
-        ),
+        ckpt_dir=args.ckpt_dir, log_every=100, log_fn=log_fn,
+        val_fn=val_fn, val_every=args.val_every,
     )
     print(f"done; checkpoints in {args.ckpt_dir}")
+
+
+def _make_val_fn(cfg, model, val_objects, n_frames: int = 16):
+    """Pose-AP validation over held-out frames (the reference's
+    validation_epoch_end: matcher forward -> RANSAC PnP -> aggregate APs,
+    OnePosePlus_lightning_model.py:112-160)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import metrics as metrics_mod, so3
+    from ..solvers import ransac_pnp
+
+    # pre-select a fixed, reproducible validation set across objects
+    rng = np.random.default_rng(0)
+    picks = []  # (cloud tuple, frame image, pose, K)
+    L = cfg.matcher.n_points
+    for m, frames, poses, Ks in val_objects:
+        cloud = m.padded(L, rng)
+        for f in rng.choice(
+            len(frames), min(len(frames), max(1, n_frames // len(val_objects))),
+            replace=False,
+        ):
+            picks.append((cloud, frames[f], poses[f], Ks[f]))
+    apply = jax.jit(
+        lambda v, im, k_, dc_, df_, m_: model.apply(v, im, k_, dc_, df_, m_)
+    )
+
+    def val_fn(state):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        r_errs, t_errs = [], []
+        for (k, dc, df, _, mask), img, pose_gt, K in picks:
+            out = apply(
+                variables, jnp.asarray(img[None, ..., None]),
+                jnp.asarray(k)[None], jnp.asarray(dc)[None],
+                jnp.asarray(df)[None], jnp.asarray(mask)[None],
+            )
+            res = ransac_pnp(
+                jax.random.key(0),
+                out["mkpts3d"][0], out["mkpts_query_f"][0],
+                jnp.asarray(K), out["matches"].valid[0], cfg.pnp,
+            )
+            R_pred, t_pred = so3.pose6_to_Rt(res.pose6)
+            T_pred = np.eye(4)
+            T_pred[:3, :3] = np.asarray(R_pred)
+            T_pred[:3, 3] = np.asarray(t_pred)
+            T_gt = np.eye(4)
+            T_gt[:3, :3] = np.asarray(so3.exp(jnp.asarray(pose_gt[:3])))
+            T_gt[:3, 3] = pose_gt[3:]
+            r, t = metrics_mod.query_pose_error(T_pred, T_gt)
+            r_errs.append(r)
+            t_errs.append(t)
+        return metrics_mod.aggregate_metrics(
+            np.asarray(r_errs), np.asarray(t_errs)
+        )
+
+    return val_fn
 
 
 if __name__ == "__main__":

@@ -170,3 +170,34 @@ def test_fit_with_validation_hook(tmp_path, rng):
 
     best = json.loads((tmp_path / "ck" / "best.json").read_text())
     assert best["step"] == 6 and abs(best["metric"] - 0.3) < 1e-9
+
+
+def test_train_cli_val_fn(rng):
+    """_make_val_fn: matcher -> PnP -> pose APs on tiny shapes."""
+    from onepose_st_tpu.cli.train_matcher import _make_val_fn
+    from onepose_st_tpu.sfm.map import SfMMap
+    from onepose_st_tpu.train.step import init_state, make_optimizer
+
+    cfg = tiny_engine_cfg()
+    model = OnePoseMatcher(cfg.matcher)
+    m = SfMMap(
+        keypoints3d=rng.normal(size=(10, 3)).astype(np.float32) * 0.1,
+        desc_coarse=rng.normal(size=(10, 16)).astype(np.float32),
+        desc_fine=rng.normal(size=(10, 8)).astype(np.float32),
+        scores=np.ones(10, np.float32),
+    )
+    frames = rng.uniform(size=(3, 64, 64)).astype(np.float32)
+    poses = np.tile(np.array([0, 0, 0, 0, 0, 1.5], np.float32), (3, 1))
+    Ks = np.tile(
+        np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]], np.float32),
+        (3, 1, 1),
+    )
+    val_fn = _make_val_fn(cfg, model, [(m, frames, poses, Ks)], n_frames=2)
+
+    batch = make_batch(rng, cfg)
+    tx = make_optimizer(cfg.train, 1, 10)
+    state = init_state(jax.random.key(0), model, tx, batch)
+    metrics = val_fn(state)
+    assert set(metrics.keys()) == {"1cm@1degree", "3cm@3degree", "5cm@5degree"}
+    for v in metrics.values():
+        assert 0.0 <= v <= 1.0
