@@ -65,6 +65,13 @@ def main():
                     help="also evaluate 4 training views (mechanics check)")
     ap.add_argument("--split", default="interleave",
                     choices=["interleave", "tail"])
+    ap.add_argument("--elev_jitter", type=float, default=0.05,
+                    help="per-frame elevation jitter (rad); lower = smoother "
+                         "scan trajectory")
+    ap.add_argument("--eval_conf_thr", type=float, default=None,
+                    help="override the coarse confidence threshold at eval "
+                         "(mutual-NN + RANSAC tolerate low-conf matches; "
+                         "small models under-shoot the flagship's 0.1)")
     args = ap.parse_args()
 
     import jax
@@ -88,7 +95,7 @@ def main():
     scene = synthetic.make_scene(
         rng, n_points=args.points, n_frames=args.frames,
         image_hw=(args.image, args.image), focal=1.4 * args.image,
-        object_size=0.25,
+        object_size=0.25, elevation_jitter=args.elev_jitter,
     )
     frames = synthetic.render_sequence(scene, rng, sigma_px=1.8)
     if args.split == "interleave":
@@ -162,7 +169,15 @@ def main():
     # --- held-out inference + eval ----------------------------------------
     trained = {"params": state.params, "batch_stats": state.batch_stats}
     k, dc, df, s, mask = sfm_map.padded(L)
-    apply = jax.jit(lambda v, im, k_, dc_, df_, m_: model.apply(v, im, k_, dc_, df_, m_))
+    eval_model = model
+    if args.eval_conf_thr is not None:
+        eval_model = OnePoseMatcher(cfg_lib.replace(
+            cfg.matcher,
+            coarse_matching=cfg_lib.replace(
+                cfg.matcher.coarse_matching, threshold=args.eval_conf_thr
+            ),
+        ))
+    apply = jax.jit(lambda v, im, k_, dc_, df_, m_: eval_model.apply(v, im, k_, dc_, df_, m_))
     pred_T, gt_T = [], []
     from scipy.spatial.transform import Rotation
 

@@ -134,3 +134,19 @@ def test_partition_helpers():
     assert pt.host_shard([5, 6, 7], 0, 1) == [5, 6, 7]
     assert pt.host_shard(list(range(10)), 1, 3) == [3, 4, 5, 6]
     assert pt.all_gather_host_lists([1, 2]) == [1, 2]
+
+
+def test_adapt_dtypes():
+    from onepose_st_tpu import config as cfg_lib
+
+    cfg = cfg_lib.EngineConfig()
+    cpu = cfg_lib.adapt_dtypes(cfg, backend="cpu")
+    assert cpu.matcher.backbone.dtype == "float32"
+    assert cpu.matcher.coarse.dtype == "float32"
+    assert cpu.loftr.fine.dtype == "float32"
+    tpu = cfg_lib.adapt_dtypes(cpu, backend="tpu")
+    assert tpu.matcher.backbone.dtype == "bfloat16"
+    # non-dtype fields untouched
+    assert tpu.matcher.n_points == cfg.matcher.n_points
+    # no-op returns an equal tree
+    assert cfg_lib.adapt_dtypes(tpu, backend="tpu") == tpu
