@@ -89,6 +89,9 @@ def bench_matcher(batch: int = 8, iters: int = 30) -> dict:
 
 
 def main():
+    from onepose_st_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "matcher"
     if which == "matcher":
         result = bench_matcher()

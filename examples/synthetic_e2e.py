@@ -86,6 +86,8 @@ def main():
     from onepose_st_tpu.solvers import ransac_pnp
     from onepose_st_tpu.train import data as data_mod, loop as loop_mod
 
+    from onepose_st_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     print(f"devices: {jax.devices()}")
     cfg = build_cfg(args.preset)
     rng = np.random.default_rng(args.seed)

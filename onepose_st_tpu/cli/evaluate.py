@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--split", default="val", choices=["val", "train"])
     args = ap.parse_args()
 
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

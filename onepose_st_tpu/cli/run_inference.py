@@ -36,6 +36,10 @@ def main():
                          "inference.py:121-123 infer_K path)")
     args = ap.parse_args()
 
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -47,6 +47,10 @@ def main():
                          "post-optimization fine matcher)")
     args = ap.parse_args()
 
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .. import config as cfg_lib
 
     cfg = cfg_lib.adapt_dtypes(cfg_lib.EngineConfig())

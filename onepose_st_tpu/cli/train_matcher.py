@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--val_frames", type=int, default=16)
     args = ap.parse_args()
 
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
 
     from .. import config as cfg_lib
