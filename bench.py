@@ -88,6 +88,96 @@ def bench_matcher(batch: int = 8, iters: int = 30) -> dict:
     }
 
 
+def bench_train(batch: int = 8, image: int = 256, iters: int = 20) -> dict:
+    """Full-size matcher training-step throughput (fwd+bwd+optimizer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_st_tpu import config as cfg_lib
+    from onepose_st_tpu.models import OnePoseMatcher
+    from onepose_st_tpu.train import step as step_lib
+
+    cfg = cfg_lib.EngineConfig()
+    model = OnePoseMatcher(cfg.matcher)
+    rng = np.random.default_rng(0)
+    B, H, W, L = batch, image, image, cfg.matcher.n_points
+    kpts = rng.uniform(-0.1, 0.1, size=(B, L, 3)).astype(np.float32)
+    kpts[..., 2] += 1.5
+    K = np.tile(
+        np.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1]], np.float32),
+        (B, 1, 1),
+    )
+    batch_dev = jax.device_put(step_lib.Batch(
+        query_image=jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32)),
+        kpts3d=jnp.asarray(kpts),
+        desc3d_coarse=jnp.asarray(rng.normal(size=(B, L, 256)).astype(np.float32)),
+        desc3d_fine=jnp.asarray(rng.normal(size=(B, L, 128)).astype(np.float32)),
+        point_mask=jnp.ones((B, L), bool),
+        pose_gt=jnp.zeros((B, 6), jnp.float32),
+        K_crop=jnp.asarray(K),
+    ))
+    tx = step_lib.make_optimizer(cfg.train, world_size=1, steps_per_epoch=1000)
+    state = step_lib.init_state(jax.random.key(0), model, tx, batch_dev)
+    jitted = jax.jit(step_lib.train_step, static_argnames=("model", "tx", "cfg"))
+    state, scalars = jitted(
+        state, batch_dev, jax.random.key(1), model=model, tx=tx, cfg=cfg
+    )
+    float(scalars["loss"])  # warmup sync
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, scalars = jitted(
+            state, batch_dev, jax.random.key(2 + i), model=model, tx=tx, cfg=cfg
+        )
+    float(scalars["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "metric": f"matcher_train_step_its_1chip_b{batch}_{image}px",
+        "value": round(1.0 / dt, 2),
+        "unit": "it/s",
+        "vs_baseline": 0.0,
+    }
+
+
+def bench_depth_ba(n_tracks: int = 15000, track_len: int = 16, iters: int = 10) -> dict:
+    """Depth-only LM BA at the reference's 15k-point map scale
+    (the DeepLM workload, SURVEY.md §2.2)."""
+    import jax.numpy as jnp
+
+    from onepose_st_tpu.data import synthetic
+    from onepose_st_tpu.sfm.ba.depth_ba import DepthBAProblem, solve_depth_ba
+
+    rng = np.random.default_rng(0)
+    scene = synthetic.make_scene(rng, n_points=n_tracks, n_frames=48)
+    tracks = synthetic.make_tracks(
+        scene, rng, max_track_length=track_len, noise_px=0.5
+    )
+    T = len(tracks.depth_gt)
+    prob = DepthBAProblem(
+        kpt0=jnp.asarray(tracks.kpt0),
+        ref_idx=jnp.asarray(tracks.ref_idx),
+        obs_idx=jnp.asarray(tracks.obs_idx),
+        kpt1=jnp.asarray(tracks.kpt1),
+        mask=jnp.asarray(tracks.mask),
+        poses=jnp.asarray(scene.poses),
+        Ks=jnp.asarray(scene.Ks),
+    )
+    depth0 = jnp.asarray(tracks.depth_gt * (1.0 + 0.05 * rng.normal(size=T).astype(np.float32)))
+    depth, info = solve_depth_ba(depth0, prob, max_iters=32)
+    float(info["final_cost"])  # warmup + compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        depth, info = solve_depth_ba(depth0, prob, max_iters=32)
+    fc = float(info["final_cost"])
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(fc)
+    return {
+        "metric": f"depth_ba_solve_tracks_per_s_T{T}_M{track_len}",
+        "value": round(T / dt, 1),
+        "unit": "tracks/s",
+        "vs_baseline": 0.0,
+    }
+
+
 def main():
     from onepose_st_tpu.utils import enable_compilation_cache
 
@@ -95,6 +185,14 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "matcher"
     if which == "matcher":
         result = bench_matcher()
+    elif which == "train":
+        result = bench_train()
+    elif which == "depth_ba":
+        result = bench_depth_ba()
+    elif which == "all":
+        for r in (bench_matcher(), bench_train(), bench_depth_ba()):
+            print(json.dumps(r))
+        return
     else:
         raise SystemExit(f"unknown bench: {which}")
     print(json.dumps(result))

@@ -47,7 +47,10 @@ def exp(w: jax.Array) -> jax.Array:
         small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS**2)
     )
     K = hat(w)
-    KK = K @ K
+    # pinned: TPU default matmul precision is bf16, which costs ~1e-3 of
+    # rotation accuracy here and poisons every solver differentiating
+    # through exp (PnP refine, BA Jacobians)
+    KK = jnp.matmul(K, K, precision=jax.lax.Precision.HIGHEST)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return (
         eye

@@ -59,16 +59,20 @@ class PoseEstimator:
         self._prev_pose: np.ndarray | None = None
         self._lost = True
 
-        def fwd(variables, img, kpts, dc, df, mask):
-            out = matcher_model.apply(variables, img, kpts, dc, df, mask)
-            return (
-                out["mkpts3d"],
-                out["mkpts_query_f"],
-                out["matches"].conf,
-                out["matches"].valid,
-            )
+        pnp_cfg = cfg.pnp
 
-        self._fwd = jax.jit(fwd)
+        def fwd_pnp(variables, img, kpts, dc, df, mask, K_crop, rng):
+            """Matcher forward + RANSAC PnP fused into ONE device program:
+            per-frame latency pays a single dispatch (the tunnel's dispatch
+            floor is ~2.5 ms, comparable to the compute itself) and the
+            match tensors never round-trip to the host."""
+            out = matcher_model.apply(variables, img, kpts, dc, df, mask)
+            mk3d = out["mkpts3d"][0]
+            mk2d = out["mkpts_query_f"][0]
+            res = ransac_pnp(rng, mk3d, mk2d, K_crop, out["matches"].valid[0], pnp_cfg)
+            return mk3d, mk2d, out["matches"].valid, res
+
+        self._fwd_pnp = jax.jit(fwd_pnp)
 
     def reset(self):
         self._prev_pose = None
@@ -103,16 +107,9 @@ class PoseEstimator:
 
         crop, K_crop, A3 = self.detector.crop(frame, det, K)
         kpts, dc, df, mask = self._cloud
-        mk3d, mk2d, conf, valid = self._fwd(
-            self.variables, jnp.asarray(crop[None, ..., None]), kpts, dc, df, mask
-        )
-        res = ransac_pnp(
-            jax.random.key(frame_idx),
-            mk3d[0],
-            mk2d[0],
-            jnp.asarray(K_crop),
-            valid[0],
-            cfg.pnp,
+        mk3d, mk2d, valid, res = self._fwd_pnp(
+            self.variables, jnp.asarray(crop[None, ..., None]), kpts, dc, df, mask,
+            jnp.asarray(K_crop), jax.random.key(frame_idx),
         )
         n_inl = int(res.n_inliers)
         n_match = int(np.asarray(valid).sum())
@@ -131,8 +128,8 @@ class PoseEstimator:
         T44[:3, 3] = np.asarray(t)
 
         inl = np.asarray(res.inliers)
-        mk3d_np = np.asarray(mk3d[0])[inl]
-        mk2d_crop = np.asarray(mk2d[0])[inl]
+        mk3d_np = np.asarray(mk3d)[inl]
+        mk2d_crop = np.asarray(mk2d)[inl]
         # map crop coords back to full-image coords for the tracker
         A_inv = np.linalg.inv(A3)
         mk2d_full = mk2d_crop @ A_inv[:2, :2].T + A_inv[:2, 2]

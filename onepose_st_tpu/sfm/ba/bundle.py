@@ -180,7 +180,9 @@ def _gn_step(poses, points, prob: BundleProblem, lam, chunk: int = 512,
     S_dense = S_dense * mask2d + jnp.diag(1.0 - free_f)
     b_dense = b_dense * free_f
 
-    delta_c = jnp.linalg.solve(S_dense, b_dense).reshape(F, 6)
+    # linalg internals contract at ambient precision (bf16 on TPU) — pin
+    with jax.default_matmul_precision("highest"):
+        delta_c = jnp.linalg.solve(S_dense, b_dense).reshape(F, 6)
 
     # back-substitute points: dX = Hpp^-1 (bp - sum_m W^T dc_f)
     dc_per_obs = delta_c[prob.obs_frame]                             # [P,M,6]

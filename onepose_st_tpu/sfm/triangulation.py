@@ -39,7 +39,9 @@ def _dlt_point(origins, dirs, w):
     A = jnp.sum(Pm, axis=0)
     b = jnp.sum(jnp.einsum("mij,mj->mi", Pm, origins, precision=_PREC), axis=0)
     A = A + 1e-9 * eye
-    return jnp.linalg.solve(A, b)
+    # linalg internals contract at ambient precision (bf16 on TPU) — pin
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.solve(A, b)
 
 
 def triangulate_tracks(

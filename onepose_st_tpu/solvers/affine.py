@@ -29,8 +29,10 @@ class AffineResult(NamedTuple):
 def _solve_affine(src: jax.Array, dst: jax.Array) -> jax.Array:
     """Exact affine from 3 correspondences: [3,2] -> [3,2] gives [2,3]."""
     X = jnp.concatenate([src, jnp.ones((src.shape[0], 1), src.dtype)], axis=-1)
-    # X @ A.T = dst  ->  A.T = X^-1 dst (3x3 solve, batched-safe)
-    At = jnp.linalg.solve(X, dst)
+    # X @ A.T = dst  ->  A.T = X^-1 dst (3x3 solve, batched-safe);
+    # linalg internals contract at ambient precision (bf16 on TPU) — pin
+    with jax.default_matmul_precision("highest"):
+        At = jnp.linalg.solve(X, dst)
     return At.T
 
 
@@ -40,7 +42,8 @@ def _lstsq_affine(src, dst, w):
     Xw = X * w[:, None]
     XtX = jnp.matmul(X.T, Xw, precision=_PREC)
     Xty = jnp.matmul(Xw.T, dst, precision=_PREC)
-    At = jnp.linalg.solve(XtX + 1e-8 * jnp.eye(3, dtype=X.dtype), Xty)
+    with jax.default_matmul_precision("highest"):
+        At = jnp.linalg.solve(XtX + 1e-8 * jnp.eye(3, dtype=X.dtype), Xty)
     return At.T
 
 

@@ -59,7 +59,11 @@ def _dlt_pose(pts3d: jax.Array, xn: jax.Array) -> jax.Array:
     r2 = jnp.concatenate([zeros, X, -xn[:, 1:2] * X], axis=-1)
     A = jnp.concatenate([r1, r2], axis=0)                      # [2S, 12]
     AtA = jnp.matmul(A.T, A, precision=_PREC)
-    _, vecs = jnp.linalg.eigh(AtA)
+    # linalg internals (eigh/svd iterations) contract at the *ambient*
+    # default precision — bf16 on TPU, which breaks the rotation estimate
+    # (measured 5.8 deg error vs 0.02 deg pinned); scope them to HIGHEST
+    with jax.default_matmul_precision("highest"):
+        _, vecs = jnp.linalg.eigh(AtA)
     p = vecs[:, 0]                                             # smallest eigval
     P = p.reshape(3, 4)
     # resolve the null vector's projective sign first: sampled points must
@@ -70,7 +74,8 @@ def _dlt_pose(pts3d: jax.Array, xn: jax.Array) -> jax.Array:
     sign = jnp.where(jnp.sum(jnp.sign(z_raw)) < 0, -1.0, 1.0)
     R_raw, t_raw = sign * P[:, :3], sign * P[:, 3]
     # project to SO(3): R = U diag(1,1,det) V^T; positive scale from SVD
-    U, s, Vt = jnp.linalg.svd(R_raw)
+    with jax.default_matmul_precision("highest"):
+        U, s, Vt = jnp.linalg.svd(R_raw)
     det = jnp.linalg.det(jnp.matmul(U, Vt, precision=_PREC))
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], R_raw.dtype)).at[2, 2].set(det)
     R = jnp.matmul(jnp.matmul(U, D, precision=_PREC), Vt, precision=_PREC)
@@ -134,9 +139,10 @@ def ransac_pnp(
         J = jax.jacfwd(res_flat)(pose)                     # [2N, 6]
         JtJ = jnp.matmul(J.T, J, precision=_PREC)
         Jtr = jnp.matmul(J.T, r, precision=_PREC)
-        delta = jnp.linalg.solve(
-            JtJ + 1e-6 * jnp.eye(6, dtype=JtJ.dtype), Jtr
-        )
+        with jax.default_matmul_precision("highest"):
+            delta = jnp.linalg.solve(
+                JtJ + 1e-6 * jnp.eye(6, dtype=JtJ.dtype), Jtr
+            )
         cand = pose - delta
         # accept only if cost decreases (guards divergent steps)
         better = jnp.sum(res_flat(cand) ** 2) < jnp.sum(r**2)
