@@ -60,6 +60,11 @@ class TemporalTracker:
                 temperature=self.temperature,
             )
         )
+        self._sample_desc = jax.jit(
+            lambda feat, uv, stride: sampling_ops.sample_descriptors(
+                feat[None], uv[None], stride
+            )[0]
+        )
 
     def features(self, frames: np.ndarray) -> jax.Array:
         """[T, H, W] grayscale -> [T, Hf, Wf, C] fine features."""
@@ -135,6 +140,57 @@ class RefinedResult(NamedTuple):
     used_tracks: int
 
 
+def _window_track_pnp(
+    feat_win: jax.Array,   # [W, Hf, Wf, C] fine features of frames t-W+1..t
+    desc: jax.Array,       # [N, C] source descriptors (per birth frame)
+    uv0: jax.Array,        # [N, 2] start positions (at birth frame, image px)
+    birth: jax.Array,      # [N] int32 window-index of the source frame
+                           # (W for padding slots: never advanced)
+    trk_pts3d: jax.Array,  # [N, 3] the tracked points' 3D partners
+    own_pts3d: jax.Array,  # [K, 3] target frame's own PnP inliers
+    own_uv: jax.Array,     # [K, 2]
+    own_valid: jax.Array,  # [K] bool
+    K_mat: jax.Array,      # [3, 3]
+    key: jax.Array,
+    *,
+    stride: float,
+    radius: int,
+    iters: int,
+    temperature: float,
+    conf_thr: float,
+    pnp_cfg,
+):
+    """One device program per refined frame: advance every window query
+    through the intermediate frames with a lax.scan, then RANSAC-PnP the
+    union of tracked + own correspondences. Replaces the per-(source,
+    intermediate-frame) dispatch chain — ~15 blocking round-trips per frame
+    over the tunnel collapse into one."""
+    W = feat_win.shape[0]
+
+    def step(carry, inp):
+        uv, conf = carry
+        feat, k = inp
+        new_uv, new_conf = _track_points_step(
+            feat, desc, uv, stride, radius, iters, temperature
+        )
+        active = birth < k           # born strictly before this window frame
+        uv = jnp.where(active[:, None], new_uv, uv)
+        conf = jnp.where(active, new_conf, conf)
+        return (uv, conf), None
+
+    ks = jnp.arange(1, W, dtype=jnp.int32)
+    (uv, conf), _ = jax.lax.scan(
+        step, (uv0, jnp.zeros(uv0.shape[0])), (feat_win[1:], ks)
+    )
+    trk_valid = (birth < W - 1) & (conf > conf_thr)
+
+    P3 = jnp.concatenate([own_pts3d, trk_pts3d], axis=0)
+    P2 = jnp.concatenate([own_uv, uv], axis=0)
+    val = jnp.concatenate([own_valid, trk_valid], axis=0)
+    res = ransac_pnp(key, P3, P2, K_mat, val, pnp_cfg)
+    return res.pose6, res.n_inliers, res.success, jnp.sum(trk_valid)
+
+
 def refine_sequence(
     cfg: EngineConfig,
     tracker: TemporalTracker,
@@ -143,6 +199,7 @@ def refine_sequence(
     Ks: np.ndarray,                # [T, 3, 3] (full image)
     window: int = 6,
     max_pts_per_frame: int = 256,
+    conf_thr: float = 0.5,
 ) -> list[RefinedResult]:
     """Second-pass pose optimization (reference POSE OPTIMIZATION loop).
 
@@ -150,54 +207,79 @@ def refine_sequence(
     PnP-inlier 2D points into frame t and re-run PnP on the union of the
     frame's own inliers and the tracked points.
     """
+    from ..core import so3
+
     T = len(frames)
+    W = window
+    feat_seq = tracker.features(frames)        # [T, Hf, Wf, C] device-resident
+    stride = frames.shape[1] / feat_seq.shape[1]
+
+    # per-frame query prep: fixed-capacity buffers; descriptors sampled ONCE
+    # per frame in its own feature map (reused by every window containing it)
+    n_src = np.zeros(T, np.int32)
+    uv_buf = np.zeros((T, max_pts_per_frame, 2), np.float32)
+    p3_buf = np.zeros((T, max_pts_per_frame, 3), np.float32)
+    descs: list[jax.Array | None] = [None] * T
+    for s, r in enumerate(results):
+        if not r.success or len(r.mkpts2d_full) == 0:
+            continue
+        n = min(len(r.mkpts2d_full), max_pts_per_frame)
+        n_src[s] = n
+        uv_buf[s, :n] = r.mkpts2d_full[:n]
+        p3_buf[s, :n] = r.mkpts3d[:n]
+        descs[s] = tracker._sample_desc(
+            feat_seq[s], jnp.asarray(uv_buf[s]), stride
+        )
+    zero_desc = jnp.zeros_like(
+        next((d for d in descs if d is not None), jnp.zeros((max_pts_per_frame, feat_seq.shape[-1])))
+    )
+
+    # own-inlier capacity = the PnP match capacity (never truncates)
+    K_own = cfg.matcher.coarse_matching.max_matches
+    job = jax.jit(partial(
+        _window_track_pnp,
+        stride=float(stride),
+        radius=tracker.radius,
+        iters=tracker.iters,
+        temperature=tracker.temperature,
+        conf_thr=conf_thr,
+        pnp_cfg=cfg.pnp,
+    ))
+
     out: list[RefinedResult] = []
-    feat_seq = tracker.features(frames)
     for t in range(T):
         base = results[t]
-        if t < window - 1 or not base.success:
-            out.append(
-                RefinedResult(base.pose6, base.T44, base.n_inliers, 0)
-            )
+        if t < W - 1 or not base.success:
+            out.append(RefinedResult(base.pose6, base.T44, base.n_inliers, 0))
             continue
-        pts3d = [base.mkpts3d]
-        pts2d = [base.mkpts2d_full]
-        used = 0
-        for s in range(t - window + 1, t):
-            prev = results[s]
-            if not prev.success or len(prev.mkpts2d_full) == 0:
-                continue
-            n = min(len(prev.mkpts2d_full), max_pts_per_frame)
-            uv_t, conf = tracker.track_chain(
-                feat_seq, prev.mkpts2d_full[:n], s, t
-            )
-            keep = conf > 0.5
-            if keep.sum() == 0:
-                continue
-            pts3d.append(prev.mkpts3d[:n][keep])
-            pts2d.append(uv_t[keep])
-            used += int(keep.sum())
-        P3 = np.concatenate(pts3d, axis=0)
-        P2 = np.concatenate(pts2d, axis=0)
-        # pad to a static capacity bucket to bound recompiles
-        cap = 1 << int(np.ceil(np.log2(max(len(P3), 64))))
-        pad = cap - len(P3)
-        valid = np.concatenate([np.ones(len(P3), bool), np.zeros(pad, bool)])
-        P3 = np.concatenate([P3, np.zeros((pad, 3), np.float32)])
-        P2 = np.concatenate([P2, np.zeros((pad, 2), np.float32)])
-        res = ransac_pnp(
-            jax.random.key(t),
-            jnp.asarray(P3), jnp.asarray(P2), jnp.asarray(Ks[t]),
-            jnp.asarray(valid), cfg.pnp,
+        srcs = list(range(t - W + 1, t))
+        desc = jnp.concatenate(
+            [descs[s] if descs[s] is not None else zero_desc for s in srcs]
         )
-        from ..core import so3
+        uv0 = np.concatenate([uv_buf[s] for s in srcs])
+        trk3d = np.concatenate([p3_buf[s] for s in srcs])
+        birth = np.concatenate([
+            np.where(np.arange(max_pts_per_frame) < n_src[s], b, W).astype(np.int32)
+            for b, s in enumerate(srcs)
+        ])
+        n_own = min(len(base.mkpts2d_full), K_own)
+        own_uv = np.zeros((K_own, 2), np.float32)
+        own_p3 = np.zeros((K_own, 3), np.float32)
+        own_val = np.zeros(K_own, bool)
+        own_uv[:n_own] = base.mkpts2d_full[:n_own]
+        own_p3[:n_own] = base.mkpts3d[:n_own]
+        own_val[:n_own] = True
 
-        pose6 = np.asarray(res.pose6)
+        feat_win = jax.lax.dynamic_slice_in_dim(feat_seq, t - W + 1, W, 0)
+        pose6_d, n_inl_d, success_d, used_d = job(
+            feat_win, desc, jnp.asarray(uv0), jnp.asarray(birth),
+            jnp.asarray(trk3d), jnp.asarray(own_p3), jnp.asarray(own_uv),
+            jnp.asarray(own_val), jnp.asarray(Ks[t]), jax.random.key(t),
+        )
+        pose6 = np.asarray(pose6_d)
         R, tr = so3.pose6_to_Rt(jnp.asarray(pose6))
         T44 = np.eye(4, dtype=np.float32)
         T44[:3, :3] = np.asarray(R)
         T44[:3, 3] = np.asarray(tr)
-        out.append(
-            RefinedResult(pose6, T44, int(res.n_inliers), used)
-        )
+        out.append(RefinedResult(pose6, T44, int(n_inl_d), int(used_d)))
     return out

@@ -145,3 +145,70 @@ def test_frame_result_cache_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(a.mkpts2d_full, b.mkpts2d_full)
     ip.save_results(tmp_path / "e.npz", [])
     assert ip.load_results(tmp_path / "e.npz") == []
+
+
+def test_refine_sequence_windowed(rng):
+    """refine_sequence: windowed scan tracking + fused PnP recovers a frame
+    whose own correspondences are sparse/noisy, using tracks from the
+    previous window's frames (the reference CoTracker phase's role)."""
+    from onepose_st_tpu.core import metrics, so3
+    from onepose_st_tpu.data import synthetic
+    from onepose_st_tpu.infer.pipeline import FrameResult
+    from onepose_st_tpu.infer.tracker import refine_sequence
+
+    # slow orbit slice: 6 deg/frame so per-step image motion fits the
+    # correlation search radius
+    scene = synthetic.make_scene(
+        rng, n_points=70, n_frames=60, image_hw=(64, 64), focal=90.0,
+        object_size=0.25, elevation_jitter=0.0,
+    )
+    T = 8
+    # fixed per-point amps across frames for correlatable content
+    amps = rng.uniform(0.3, 1.0, size=70).astype(np.float32)
+    frames = np.stack([
+        synthetic.render_splats(scene, f, amps, sigma_px=2.0)
+        for f in range(T)
+    ])
+
+    def T44_of(f):
+        M = np.eye(4, dtype=np.float32)
+        M[:3, :3] = scene.Rs[f]
+        M[:3, 3] = scene.ts[f]
+        return M
+
+    results = []
+    for f in range(T):
+        vis = np.nonzero(scene.visible[f])[0][:40]
+        uv = scene.uv[f][vis]
+        p3 = scene.points[vis]
+        if f == T - 1:
+            # the frame under refinement: only 6 own points, 2 px noise
+            uv = uv[:6] + rng.normal(size=(6, 2)).astype(np.float32) * 2.0
+            p3 = p3[:6]
+        results.append(FrameResult(
+            pose6=scene.poses[f], T44=T44_of(f), n_inliers=len(uv),
+            n_matches=len(uv), tracked=True, success=True,
+            mkpts3d=p3.astype(np.float32), mkpts2d_full=uv.astype(np.float32),
+        ))
+
+    cfg = cfg_lib.EngineConfig(matcher=small_matcher_cfg())
+    model = OnePoseMatcher(cfg.matcher)
+    L = cfg.matcher.n_points
+    variables = model.init(
+        jax.random.key(0), jnp.asarray(frames[:1, ..., None]),
+        jnp.zeros((1, L, 3)), jnp.zeros((1, L, 32)), jnp.zeros((1, L, 16)),
+    )
+    tracker = TemporalTracker(model, variables, search_radius=8)
+    refined = refine_sequence(
+        cfg, tracker, frames, results, scene.Ks, window=6,
+        max_pts_per_frame=32,
+    )
+    assert len(refined) == T
+    last = refined[-1]
+    assert last.used_tracks > 0
+    assert last.n_inliers > 6  # tracked points joined the solve
+    # loose bound: at 64 px / f=90 toy scale, per-step correlation drift over
+    # 5 chained frames dominates (a few px ~ a few degrees); this gates the
+    # windowed-scan mechanics, not tracker accuracy
+    r_err, t_err = metrics.query_pose_error(last.T44[:3], T44_of(T - 1)[:3])
+    assert r_err < 8.0 and t_err < 5.0, (r_err, t_err, last.used_tracks)
