@@ -7,6 +7,7 @@ over 256 bins per quantity (roll, rho, vertical FoV, k1_hat), decoded to a
 pinhole K per frame and averaged over the clip.
 """
 from .calibrate import CalibrationResult, calibrate_image, decode_bins, infer_K
+from .layercam import layercam
 from .model import CalibNet
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "calibrate_image",
     "decode_bins",
     "infer_K",
+    "layercam",
 ]

@@ -138,6 +138,9 @@ class TrainConfig:
     lr_milestones: tuple[int, ...] = (3, 6, 9, 12)
     lr_gamma: float = 0.5
     seed: int = 12345
+    # keep the (pretrained) backbone frozen for the first N optimizer steps
+    # (reference src/callbacks/custom_callbacks.py unfreeze-after-N-epochs)
+    freeze_backbone_steps: int = 0
 
     def true_lr(self, world_size: int) -> float:
         """world-size LR scaling, reference train_onepose_plus.py:24-39."""

@@ -73,6 +73,14 @@ def init_state(
     )
 
 
+def _gate_subtree(tree, key: str, gate: jax.Array):
+    """Multiply every leaf under tree[key] by `gate` (0.0 or 1.0)."""
+    return {
+        k: jax.tree.map(lambda u: u * gate, v) if k == key else v
+        for k, v in tree.items()
+    }
+
+
 def train_step(
     state: TrainState,
     batch: Batch,
@@ -136,7 +144,17 @@ def train_step(
     (loss, (scalars, new_stats)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(state.params)
+    if cfg.train.freeze_backbone_steps:
+        # backbone frozen for the first N steps (reference
+        # src/callbacks/custom_callbacks.py). Gating both grads (keeps Adam
+        # moments at zero) and updates (blocks AdamW weight decay).
+        gate = (state.step >= cfg.train.freeze_backbone_steps).astype(
+            jnp.float32
+        )
+        grads = _gate_subtree(grads, "backbone", gate)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    if cfg.train.freeze_backbone_steps:
+        updates = _gate_subtree(updates, "backbone", gate)
     new_params = optax.apply_updates(state.params, updates)
     scalars = dict(scalars)
     scalars["grad_norm"] = optax.global_norm(grads)

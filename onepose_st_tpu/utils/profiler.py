@@ -61,6 +61,40 @@ class SimpleProfiler(PassThroughProfiler):
         return "\n".join(rows)
 
 
+class AdvancedProfiler(PassThroughProfiler):
+    """cProfile per named scope (reference src/utils/profiler.py:196 —
+    Lightning AdvancedProfiler). Host-side Python cost only; pair with
+    `device_trace` for device time."""
+
+    def __init__(self, top: int = 20):
+        import cProfile
+
+        self._cProfile = cProfile
+        self.profilers: dict = {}
+        self.top = top
+
+    @contextlib.contextmanager
+    def scope(self, name: str):
+        pr = self.profilers.setdefault(name, self._cProfile.Profile())
+        pr.enable()
+        try:
+            yield
+        finally:
+            pr.disable()
+
+    def summary(self) -> str:
+        import io
+        import pstats
+
+        parts = []
+        for name, pr in self.profilers.items():
+            buf = io.StringIO()
+            stats = pstats.Stats(pr, stream=buf)
+            stats.sort_stats("cumulative").print_stats(self.top)
+            parts.append(f"Profile of scope '{name}':\n{buf.getvalue()}")
+        return "\n".join(parts)
+
+
 @contextlib.contextmanager
 def device_trace(logdir: str):
     """Capture a jax/XLA profiler trace (view in TensorBoard / xprof)."""

@@ -34,6 +34,15 @@ def test_simple_profiler():
     assert "| a | 2 |" in s
 
 
+def test_advanced_profiler():
+    p = profiler.AdvancedProfiler(top=5)
+    with p.scope("work"):
+        sum(range(10000))
+    s = p.summary()
+    assert "Profile of scope 'work'" in s
+    assert "cumulative" in s
+
+
 def test_evaluate_poses(rng):
     from scipy.spatial.transform import Rotation
 

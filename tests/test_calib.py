@@ -107,3 +107,22 @@ def test_infer_K_average(rng):
     assert K.shape == (3, 3)
     assert K[0, 2] == 64 / 2 and K[1, 2] == 48 / 2
     assert K[0, 0] > 0 and K[1, 1] > 0
+
+
+def test_layercam(rng):
+    import jax
+
+    from onepose_st_tpu.calib.layercam import layercam, upsample
+
+    model = CalibNet(TINY)
+    img = np.random.default_rng(1).uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(0), img, train=False)
+    cam, log_probs = layercam(model, variables, img, head="vfov")
+    cam = np.asarray(cam)
+    assert cam.ndim == 3 and cam.shape[0] == 2
+    assert log_probs.shape == (2, TINY.num_bins)
+    assert np.all(cam >= 0) and np.all(cam <= 1 + 1e-6)
+    # a fixed target bin also works and upsampling hits image resolution
+    cam2, _ = layercam(model, variables, img, head="roll", target_bin=3)
+    up = np.asarray(upsample(cam2, (32, 32)))
+    assert up.shape == (2, 32, 32)

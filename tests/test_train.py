@@ -137,6 +137,48 @@ def test_train_step_runs_and_descends(rng):
     assert losses_seen[-1] < losses_seen[0]
 
 
+def test_freeze_backbone_schedule(rng):
+    """Backbone params must stay fixed for the first N steps, then move
+    (reference src/callbacks/custom_callbacks.py unfreeze-after-N-epochs)."""
+    cfg = tiny_engine_cfg()
+    cfg = cfg_lib.replace(
+        cfg, train=cfg_lib.replace(cfg.train, freeze_backbone_steps=2)
+    )
+    model = OnePoseMatcher(cfg.matcher)
+    batch = jax.tree.map(jnp.asarray, make_batch(rng, cfg, B=2))
+    tx = step.make_optimizer(cfg.train, world_size=1, steps_per_epoch=100)
+    state = step.init_state(jax.random.key(0), model, tx, batch)
+    bb0 = jax.tree.map(np.asarray, state.params["backbone"])
+
+    jitted = jax.jit(step.train_step, static_argnames=("model", "tx", "cfg"))
+    for i in range(2):
+        state, _ = jitted(
+            state, batch, jax.random.key(i), model=model, tx=tx, cfg=cfg
+        )
+    frozen = jax.tree.map(
+        lambda a, b: np.array_equal(a, np.asarray(b)),
+        bb0, state.params["backbone"],
+    )
+    assert all(jax.tree.leaves(frozen)), "backbone moved while frozen"
+    # non-backbone params must have trained during the freeze
+    init_state2 = step.init_state(jax.random.key(0), model, tx, batch)
+    moved = jax.tree.map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
+        init_state2.params["loftr_coarse"],
+        state.params["loftr_coarse"],
+    )
+    assert any(jax.tree.leaves(moved))
+    for i in range(2, 4):
+        state, _ = jitted(
+            state, batch, jax.random.key(i), model=model, tx=tx, cfg=cfg
+        )
+    unfrozen = jax.tree.map(
+        lambda a, b: not np.allclose(a, np.asarray(b)),
+        bb0, state.params["backbone"],
+    )
+    assert any(jax.tree.leaves(unfrozen)), "backbone never unfroze"
+
+
 def test_fit_with_validation_hook(tmp_path, rng):
     """val_fn runs on schedule, logs val/ metrics, tracks best checkpoint."""
     import jax
