@@ -178,6 +178,59 @@ def bench_depth_ba(n_tracks: int = 15000, track_len: int = 16, iters: int = 10) 
     }
 
 
+def bench_pipeline(iters: int = 50) -> dict:
+    """Closed-loop per-frame pose estimation latency: the fused
+    matcher-forward + RANSAC-PnP device program of infer/pipeline.py
+    (B=1, 512 px crop, full-size cloud), blocking on the pose each frame
+    as real tracking must (the pose feeds the next frame's crop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_st_tpu import config as cfg_lib
+    from onepose_st_tpu.models import OnePoseMatcher
+    from onepose_st_tpu.solvers import ransac_pnp
+
+    cfg = cfg_lib.EngineConfig()
+    model = OnePoseMatcher(cfg.matcher)
+    rng = np.random.default_rng(0)
+    H = W = 512
+    L = cfg.matcher.n_points
+    img = jnp.asarray(rng.uniform(size=(1, H, W, 1)).astype(np.float32))
+    kpts = jnp.asarray(rng.uniform(-0.1, 0.1, size=(1, L, 3)).astype(np.float32))
+    dc = jnp.asarray(rng.normal(size=(1, L, 256)).astype(np.float32))
+    df = jnp.asarray(rng.normal(size=(1, L, 128)).astype(np.float32))
+    mask = jnp.ones((1, L), dtype=bool)
+    K = jnp.asarray(
+        np.array([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]], np.float32)
+    )
+    variables = jax.jit(model.init)(jax.random.key(0), img, kpts, dc, df, mask)
+    pnp_cfg = cfg.pnp
+
+    def fwd_pnp(variables, img, kpts, dc, df, mask, K, rng):
+        out = model.apply(variables, img, kpts, dc, df, mask)
+        res = ransac_pnp(
+            rng, out["mkpts3d"][0], out["mkpts_query_f"][0], K,
+            out["matches"].valid[0], pnp_cfg,
+        )
+        return res.pose6, res.n_inliers
+
+    jitted = jax.jit(fwd_pnp)
+    np.asarray(jitted(variables, img, kpts, dc, df, mask, K, jax.random.key(0))[0])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        pose6, _ = jitted(
+            variables, img, kpts, dc, df, mask, K, jax.random.key(i)
+        )
+        np.asarray(pose6)  # the host needs the pose before the next frame
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "metric": "closed_loop_pose_fps_1chip_b1_512px",
+        "value": round(1.0 / dt, 2),
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+    }
+
+
 def main():
     from onepose_st_tpu.utils import enable_compilation_cache
 
@@ -189,8 +242,12 @@ def main():
         result = bench_train()
     elif which == "depth_ba":
         result = bench_depth_ba()
+    elif which == "pipeline":
+        result = bench_pipeline()
     elif which == "all":
-        for r in (bench_matcher(), bench_train(), bench_depth_ba()):
+        for r in (
+            bench_matcher(), bench_train(), bench_depth_ba(), bench_pipeline()
+        ):
             print(json.dumps(r))
         return
     else:
