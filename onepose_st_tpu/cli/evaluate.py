@@ -21,6 +21,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data_index", required=True)
     ap.add_argument("--matcher_ckpt", default=None)
+    ap.add_argument("--loftr_ckpt", default=None,
+                    help="orbax checkpoint dir for the 2D-2D detector matcher")
     ap.add_argument("--refine", action="store_true")
     ap.add_argument("--split", default="val", choices=["val", "train"])
     args = ap.parse_args()
@@ -51,6 +53,9 @@ def main():
     matcher = OnePoseMatcher(cfg.matcher)
     loftr = LoFTRMatcher(cfg.loftr)
     variables = load_checkpoint(args.matcher_ckpt) if args.matcher_ckpt else None
+    loftr_trained = (
+        load_checkpoint(args.loftr_ckpt) if args.loftr_ckpt else None
+    )
     # init caches keyed by image shape: sequences usually share crop sizes,
     # so both models initialize (and compile) once for the whole run
     matcher_init = jax.jit(matcher.init)
@@ -66,7 +71,12 @@ def main():
                 jnp.zeros((1, L, cfg.matcher.coarse.d_model)),
                 jnp.zeros((1, L, cfg.matcher.fine.d_model)),
             )
-            init_cache[image_hw] = (m_vars, loftr_init(jax.random.key(1), zi, zi))
+            l_vars = (
+                loftr_trained
+                if loftr_trained is not None
+                else loftr_init(jax.random.key(1), zi, zi)
+            )
+            init_cache[image_hw] = (m_vars, l_vars)
         return init_cache[image_hw]
 
     rows = []

@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--data_dir", required=True, help="parsed test sequence dir")
     ap.add_argument("--map", required=True)
     ap.add_argument("--matcher_ckpt", default=None)
+    ap.add_argument("--loftr_ckpt", default=None,
+                    help="orbax checkpoint dir for the 2D-2D detector matcher")
     ap.add_argument("--refine", action="store_true",
                     help="temporal tracking second pass")
     ap.add_argument("--video", default=None)
@@ -99,10 +101,14 @@ def main():
         )
 
     loftr = LoFTRMatcher(cfg.loftr)
-    loftr_vars = jax.jit(loftr.init)(
-        jax.random.key(1), jnp.asarray(seq.images[:1, ..., None]),
-        jnp.asarray(seq.images[:1, ..., None]),
-    )
+    if args.loftr_ckpt:
+        loftr_vars = load_checkpoint(args.loftr_ckpt)
+    else:
+        print("WARNING: untrained LoFTR detector weights (no --loftr_ckpt)")
+        loftr_vars = jax.jit(loftr.init)(
+            jax.random.key(1), jnp.asarray(seq.images[:1, ..., None]),
+            jnp.asarray(seq.images[:1, ..., None]),
+        )
     if sfm_map.ref_images is not None:
         # detector DB stored with the map by run_sfm (make_reference_db)
         db = DetectorDB(

@@ -48,6 +48,11 @@ def main():
     from ..train import data as data_mod, loop as loop_mod
 
     cfg = cfg_lib.adapt_dtypes(cfg_lib.EngineConfig())
+    # keep the linear LR-scaling recipe consistent with the actual batch
+    # (true_lr scales by world * batch_size_per_device / canonical_bs)
+    cfg = cfg_lib.replace(
+        cfg, train=cfg_lib.replace(cfg.train, batch_size_per_device=args.batch)
+    )
     mesh = make_mesh()
     n_dev = len(jax.devices())
     rng = np.random.default_rng(args.seed)

@@ -47,10 +47,11 @@ class CoarseMatchingConfig:
     temperature: float = 0.08
     threshold: float = 0.1
     border_rm: int = 2
-    feat_norm: str = "sqrt_feat_dim"
     # static capacity of extracted matches (replaces torch.where dynamic shapes)
     max_matches: int = 1024
-    # training-time padding (reference coarse_matching.py:177-217)
+    # training-time slot budget (reference coarse_matching.py:177-217):
+    # predictions fill at most `train_coarse_percent` of the max_matches
+    # slots; the rest are sampled GT pairs (at least train_pad_num_gt_min)
     train_coarse_percent: float = 0.3
     train_pad_num_gt_min: int = 200
 
@@ -92,7 +93,6 @@ class MatcherConfig:
     # static number of 3D points after padding; 7000 in the reference
     # (train.yaml:194), rounded up to a lane-aligned multiple of 128 for MXU.
     n_points: int = _round_up(7000, 128)  # 7040
-    pos_encoding_max_shape: tuple[int, int] = (256, 256)
 
 
 @dataclass(frozen=True)
@@ -154,7 +154,7 @@ class PnPConfig:
     """RANSAC PnP (reference metric_utils.py:121-209, inference.py:181-189)."""
     reproj_threshold_px: float = 7.0
     n_hypotheses: int = 512       # vectorized fixed-trial RANSAC
-    sample_size: int = 4          # minimal P4P via EPnP-lite
+    sample_size: int = 6          # DLT minimal set (2 eqs/point, 11 dof)
     refine_iters: int = 10        # Gauss-Newton polish on inliers
     min_inliers: int = 20         # re-detect threshold (inference.py:150)
 

@@ -168,14 +168,32 @@ def normalize_2d_keypoints(kpts: jax.Array, hw: tuple[int, int]) -> jax.Array:
     return (kpts - center) / scaling
 
 
-def normalize_3d_keypoints(kpts: jax.Array) -> jax.Array:
+def normalize_3d_keypoints(
+    kpts: jax.Array, mask: jax.Array | None = None
+) -> jax.Array:
     """Center + scale a 3D cloud by its tight bbox.
 
     Matches reference src/models/OnePosePlus/utils/normalize.py:17-28:
     scaling = 0.6 * max(extent), center = mean.  Batched over leading dims;
     statistics computed per batch element over axis -2.
+
+    `mask` [..., L] excludes padding slots from the statistics. (The
+    reference pads clouds with copies of real points so its unmasked stats
+    are unbiased; this framework zero-pads, which would otherwise drag the
+    center toward the origin and inflate the extent.)
     """
-    extent = jnp.max(kpts, axis=-2) - jnp.min(kpts, axis=-2)  # [..., 3]
-    center = jnp.mean(kpts, axis=-2)  # [..., 3]
-    scaling = jnp.max(extent, axis=-1, keepdims=True) * 0.6  # [..., 1]
+    if mask is None:
+        extent = jnp.max(kpts, axis=-2) - jnp.min(kpts, axis=-2)  # [..., 3]
+        center = jnp.mean(kpts, axis=-2)  # [..., 3]
+    else:
+        m = mask[..., None]
+        mx = jnp.max(jnp.where(m, kpts, -jnp.inf), axis=-2)
+        mn = jnp.min(jnp.where(m, kpts, jnp.inf), axis=-2)
+        extent = mx - mn
+        center = jnp.sum(jnp.where(m, kpts, 0.0), axis=-2) / jnp.maximum(
+            jnp.sum(m, axis=-2), 1
+        )
+    scaling = jnp.maximum(
+        jnp.max(extent, axis=-1, keepdims=True) * 0.6, 1e-6
+    )  # [..., 1]
     return (kpts - center[..., None, :]) / scaling[..., None, :]

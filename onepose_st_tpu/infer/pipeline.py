@@ -19,6 +19,7 @@ import numpy as np
 
 from ..config import EngineConfig
 from ..core import so3
+from ..data import images as img_ops
 from ..sfm.map import SfMMap
 from ..solvers import ransac_pnp
 from .detector import Detection, ObjectDetector
@@ -81,10 +82,21 @@ class PoseEstimator:
     def estimate(
         self, frame: np.ndarray, K: np.ndarray, frame_idx: int = 0
     ) -> FrameResult:
-        """frame: [H, W] grayscale [0,1]; K: [3,3] full-image intrinsics."""
-        cfg = self.cfg
+        """frame: [H, W] grayscale [0,1]; K: [3,3] full-image intrinsics.
+
+        With no detector configured, frames are treated as pre-cropped
+        (object-centered, divisor-8 sized) and K as the crop intrinsics.
+        """
         det: Detection | None = None
         tracked = False
+        if self.detector is None:
+            # pre-cropped input mode (reference batch-eval path,
+            # inference dataset images already object-centered): the whole
+            # frame is the crop and K is already the crop intrinsics
+            crop, K_crop, A3 = frame, K, np.eye(3, dtype=np.float32)
+            return self._match_and_pnp(
+                crop, K_crop, A3, tracked=False, frame_idx=frame_idx
+            )
         if (
             not self._lost
             and self._prev_pose is not None
@@ -106,6 +118,17 @@ class PoseEstimator:
             )
 
         crop, K_crop, A3 = self.detector.crop(frame, det, K)
+        return self._match_and_pnp(crop, K_crop, A3, tracked, frame_idx)
+
+    def _match_and_pnp(
+        self,
+        crop: np.ndarray,
+        K_crop: np.ndarray,
+        A3: np.ndarray,
+        tracked: bool,
+        frame_idx: int,
+    ) -> FrameResult:
+        cfg = self.cfg
         kpts, dc, df, mask = self._cloud
         mk3d, mk2d, valid, res = self._fwd_pnp(
             self.variables, jnp.asarray(crop[None, ..., None]), kpts, dc, df, mask,
@@ -131,8 +154,7 @@ class PoseEstimator:
         mk3d_np = np.asarray(mk3d)[inl]
         mk2d_crop = np.asarray(mk2d)[inl]
         # map crop coords back to full-image coords for the tracker
-        A_inv = np.linalg.inv(A3)
-        mk2d_full = mk2d_crop @ A_inv[:2, :2].T + A_inv[:2, 2]
+        mk2d_full = img_ops.warp_points_h(img_ops.invert_affine(A3), mk2d_crop)
         return FrameResult(
             pose6=pose6, T44=T44, n_inliers=n_inl, n_matches=n_match,
             tracked=tracked, success=success,

@@ -66,9 +66,20 @@ class TemporalTracker:
             )[0]
         )
 
-    def features(self, frames: np.ndarray) -> jax.Array:
-        """[T, H, W] grayscale -> [T, Hf, Wf, C] fine features."""
-        return self._feats(self.variables, jnp.asarray(frames[..., None]))
+    def features(self, frames: np.ndarray, chunk: int = 32) -> jax.Array:
+        """[T, H, W] grayscale -> [T, Hf, Wf, C] fine features.
+
+        Chunked over frames: backbone activations for a whole video in one
+        call would exceed HBM (same pattern as sfm/pipeline.py's batched
+        pair matching). Only the [T, Hf, Wf, C] output stays resident.
+        """
+        T = frames.shape[0]
+        outs = []
+        for s in range(0, T, chunk):
+            outs.append(
+                self._feats(self.variables, jnp.asarray(frames[s:s + chunk, ..., None]))
+            )
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def track_chain(
         self,
@@ -276,10 +287,18 @@ def refine_sequence(
             jnp.asarray(trk3d), jnp.asarray(own_p3), jnp.asarray(own_uv),
             jnp.asarray(own_val), jnp.asarray(Ks[t]), jax.random.key(t),
         )
+        n_inl = int(n_inl_d)
+        if not bool(success_d) or n_inl < cfg.pnp.min_inliers:
+            # drifted tracks can out-vote the frame's own inliers; never
+            # replace a gated per-frame pose with a weaker consensus
+            # (the reference keeps both and renders the comparison,
+            # inference.py:322-336 — we keep the stronger one)
+            out.append(RefinedResult(base.pose6, base.T44, base.n_inliers, 0))
+            continue
         pose6 = np.asarray(pose6_d)
         R, tr = so3.pose6_to_Rt(jnp.asarray(pose6))
         T44 = np.eye(4, dtype=np.float32)
         T44[:3, :3] = np.asarray(R)
         T44[:3, 3] = np.asarray(tr)
-        out.append(RefinedResult(pose6, T44, int(n_inl_d), int(used_d)))
+        out.append(RefinedResult(pose6, T44, n_inl, int(used_d)))
     return out

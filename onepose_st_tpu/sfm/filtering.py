@@ -10,25 +10,45 @@ from __future__ import annotations
 import numpy as np
 
 
-def filter_by_bbox(points: np.ndarray, corners: np.ndarray, padding: float = 0.0) -> np.ndarray:
-    """Inside-test against an oriented 3D box given by its 8 corners.
+def box_edges_from_corners(corners: np.ndarray) -> np.ndarray:
+    """[8, 3] parallelepiped corners (ANY vertex ordering) -> [3, 3] edge
+    vectors at corners[0].
 
-    Corner layout follows core.camera.box3d_corners (signs of the axes).
-    Returns a bool mask. (reference filter_points.filter_bbox:172-216 —
-    half-space tests against the box planes.)
+    The offsets from corner 0 are {0, e1, e2, e3, e1+e2, e1+e3, e2+e3,
+    e1+e2+e3}; the edges are exactly the offsets not expressible as the sum
+    of two other nonzero offsets. Ordering-independent on purpose: the
+    ARKit parser (parse_arkit.CORNER_SIGNS), the LINEMOD parser, and
+    core.camera.box3d_corners all enumerate sign patterns differently.
+    """
+    v = corners[1:] - corners[0]  # [7, 3]
+    atol = 1e-6 * float(np.abs(v).max())
+    edges = []
+    for i in range(7):
+        is_sum = any(
+            a != i and b != i and np.allclose(v[a] + v[b], v[i], atol=atol)
+            for a in range(7)
+            for b in range(a + 1, 7)
+        )
+        if not is_sum:
+            edges.append(v[i])
+    if len(edges) != 3:
+        raise ValueError(
+            f"corners do not form a parallelepiped (got {len(edges)} edges)"
+        )
+    return np.stack(edges)
+
+
+def filter_by_bbox(points: np.ndarray, corners: np.ndarray, padding: float = 0.0) -> np.ndarray:
+    """Inside-test against an oriented 3D box given by its 8 corners, in any
+    vertex ordering. Returns a bool mask.
+    (reference filter_points.filter_bbox:172-216 — half-space tests against
+    the box planes.)
     """
     center = corners.mean(axis=0)
-    # box axes from corner differences: corners ordered by sign pattern
-    # (-,-,-) is index 0; (+,-,-) index 4; (-,+,-) index 2; (-,-,+) index 1
-    ax = corners[4] - corners[0]
-    ay = corners[2] - corners[0]
-    az = corners[1] - corners[0]
-    half = np.array(
-        [np.linalg.norm(ax), np.linalg.norm(ay), np.linalg.norm(az)]
-    ) / 2.0 + padding
-    axes = np.stack(
-        [ax / np.linalg.norm(ax), ay / np.linalg.norm(ay), az / np.linalg.norm(az)]
-    )
+    edges = box_edges_from_corners(corners)
+    lens = np.linalg.norm(edges, axis=-1)
+    axes = edges / lens[:, None]
+    half = lens / 2.0 + padding
     local = (points - center) @ axes.T
     return np.all(np.abs(local) <= half + 1e-9, axis=-1)
 

@@ -42,6 +42,7 @@ class SfMDiagnostics:
     ba_initial_cost: float = 0.0
     ba_final_cost: float = 0.0
     mean_reproj_err_px: float = 0.0
+    mean_track_length: float = 0.0
     track_length_threshold: int = 0
 
 
@@ -288,6 +289,11 @@ def build_map_from_matches(
 
     err = np.asarray(tri.reproj_err)[keep]
     diag.mean_reproj_err_px = float(err.mean()) if len(err) else 0.0
+    # (the reference reads mean track length off `colmap model_analyzer`,
+    # triangulation.py:232-250; +1 counts the reference observation)
+    diag.mean_track_length = (
+        float(track_len[keep].mean()) + 1.0 if keep.any() else 0.0
+    )
 
     return (
         SfMMap(

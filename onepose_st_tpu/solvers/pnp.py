@@ -102,7 +102,7 @@ def ransac_pnp(
 ) -> PnPResult:
     N = pts3d.shape[0]
     n_hyp = cfg.n_hypotheses
-    sample = 6  # DLT minimal-ish set
+    sample = max(cfg.sample_size, 6)  # DLT needs 6 points (12 eqs, 11 dof)
 
     # --- 1. sampling: Gumbel top-k over valid entries, per hypothesis
     g = jax.random.gumbel(rng, (n_hyp, N))
@@ -155,9 +155,12 @@ def ransac_pnp(
     err2 = jnp.sum(r * r, axis=-1)
     inliers = (err2 < cfg.reproj_threshold_px**2) & valid
     n_inl = jnp.sum(inliers).astype(jnp.int32)
+    # success needs at least a full minimal set of inliers: with < `sample`
+    # valid correspondences the Gumbel top-k necessarily drew padded points
+    # into the DLT and the pose is unconstrained
     return PnPResult(
         pose6=pose,
         inliers=inliers,
         n_inliers=n_inl,
-        success=n_inl >= cfg.sample_size,
+        success=n_inl >= sample,
     )

@@ -116,9 +116,16 @@ def train_step(
         m = out["matches"]
         # slot layout: model's own top-K predictions ++ sampled GT pads
         # (reference coarse_matching.py:177-217 semantics, static shapes)
+        # predictions keep at most train_coarse_percent of the slot budget;
+        # GT pairs fill the rest (reference coarse_matching.py:177-217)
+        cm = mcfg.coarse_matching
+        n_gt_pad = max(
+            cm.train_pad_num_gt_min,
+            cm.max_matches - int(cm.max_matches * cm.train_coarse_percent),
+        )
+        n_gt_pad = min(n_gt_pad, cm.max_matches)
         i_ids, j_ids, _ = supervision.select_train_slots(
-            rng, m.i_ids, m.j_ids, m.valid, sup,
-            n_gt_pad=mcfg.coarse_matching.train_pad_num_gt_min,
+            rng, m.i_ids, m.j_ids, m.valid, sup, n_gt_pad=n_gt_pad
         )
         fine_out = model.apply(
             variables,

@@ -103,3 +103,18 @@ def test_box3d_corners():
     assert c.shape == (8, 3)
     np.testing.assert_allclose(c.max(axis=0), [1.0, 2.0, 3.0])
     np.testing.assert_allclose(c.min(axis=0), [-1.0, -2.0, -3.0])
+
+
+def test_normalize_3d_keypoints_masked(rng):
+    """Zero-padding slots must not contaminate the normalization stats."""
+    real = rng.uniform(1.0, 2.0, size=(60, 3)).astype(np.float32)  # off-origin
+    padded = np.concatenate([real, np.zeros((140, 3), np.float32)])
+    mask = np.arange(200) < 60
+    n_masked = np.asarray(
+        camera.normalize_3d_keypoints(jnp.asarray(padded[None]), jnp.asarray(mask[None]))
+    )[0]
+    n_tight = np.asarray(camera.normalize_3d_keypoints(jnp.asarray(real[None])))[0]
+    np.testing.assert_allclose(n_masked[:60], n_tight, rtol=1e-5, atol=1e-5)
+    # unmasked stats over the zero-padded cloud would differ wildly
+    n_unmasked = np.asarray(camera.normalize_3d_keypoints(jnp.asarray(padded[None])))[0]
+    assert np.abs(n_unmasked[:60] - n_tight).max() > 0.1

@@ -380,3 +380,38 @@ def test_build_map_with_global_ba(rng):
     d_ba, _ = tree.query(m_ba.keypoints3d)
     d_off, _ = tree.query(m_off.keypoints3d)
     assert np.median(d_ba) <= np.median(d_off) + 1e-5
+
+
+def test_filter_by_bbox_any_corner_ordering(rng):
+    """The box filter must not depend on the corner enumeration: the ARKit
+    parser, the LINEMOD parser, and core.camera.box3d_corners all order the
+    8 corners differently."""
+    import jax.numpy as jnp
+
+    from onepose_st_tpu.core import camera
+    from onepose_st_tpu.data.parse_arkit import CORNER_SIGNS
+    from onepose_st_tpu.sfm import filtering
+
+    extent = np.array([0.4, 1.0, 0.2])
+    center = np.array([0.3, -0.2, 1.0])
+    # random rotation applied to the box (oriented, not axis-aligned)
+    from scipy.spatial.transform import Rotation
+
+    R = Rotation.from_rotvec([0.3, -0.5, 0.9]).as_matrix()
+    pts = rng.uniform(-1.5, 1.5, size=(4000, 3)) * extent + center
+    pts = (pts - center) @ R.T + center
+
+    def corners_from(signs):
+        c = signs * (extent / 2)[None]
+        return c @ R.T + center
+
+    m_camera = filtering.filter_by_bbox(
+        pts, np.asarray(camera.box3d_corners(jnp.asarray(extent))) @ R.T + center
+    )
+    m_arkit = filtering.filter_by_bbox(pts, corners_from(CORNER_SIGNS))
+    np.testing.assert_array_equal(m_camera, m_arkit)
+    # ground truth: local-frame half-space test
+    local = (pts - center) @ R
+    gt = np.all(np.abs(local) <= extent / 2 + 1e-9, axis=-1)
+    np.testing.assert_array_equal(m_camera, gt)
+    assert 0 < gt.sum() < len(pts)

@@ -99,3 +99,18 @@ def test_affine_ransac(rng):
     warped = np.asarray(warp_points(res.A, corners))
     want = np.asarray(corners) @ A_gt[:, :2].T + A_gt[:, 2]
     np.testing.assert_allclose(warped, want, atol=0.1)
+
+
+def test_pnp_too_few_valid_reports_failure(rng):
+    """With < 6 valid correspondences the minimal DLT set necessarily
+    contains padded garbage; success must be False even if the valid points
+    happen to reproject."""
+    pts, uv, K, pose_gt, _ = synth_pnp_problem(rng)
+    valid = np.zeros(256, bool)
+    valid[:5] = True
+    cfg = PnPConfig(n_hypotheses=256)
+    res = ransac_pnp(
+        jax.random.key(0), jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(K),
+        jnp.asarray(valid), cfg,
+    )
+    assert not bool(res.success)
