@@ -1,9 +1,10 @@
-"""COLMAP binary model interop (cameras.bin / images.bin / points3D.bin).
+"""COLMAP model interop (cameras/images/points3D in .bin and .txt form).
 
-Fresh implementation of COLMAP's public binary format so maps built by this
+Fresh implementation of COLMAP's public model formats so maps built by this
 framework can be exchanged with COLMAP-based tooling (the role of reference
-src/utils/colmap/read_write_model.py). Only the PINHOLE / SIMPLE_PINHOLE
-camera models are materialized — all the pipeline ever uses.
+src/utils/colmap/read_write_model.py, which handles both formats). Only the
+PINHOLE / SIMPLE_PINHOLE camera models are materialized — all the pipeline
+ever uses.
 """
 from __future__ import annotations
 
@@ -163,21 +164,148 @@ def write_points3d_bin(path, points: dict[int, ColmapPoint3D]):
             f.write(rec.tobytes())
 
 
-def write_model(path, cameras, images, points):
+def read_cameras_txt(path) -> dict[int, ColmapCamera]:
+    out = {}
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        toks = line.split()
+        cam_id, model = int(toks[0]), toks[1]
+        out[cam_id] = ColmapCamera(
+            cam_id, model, int(toks[2]), int(toks[3]),
+            np.asarray([float(t) for t in toks[4:]]),
+        )
+    return out
+
+
+def write_cameras_txt(path, cameras: dict[int, ColmapCamera]):
+    with open(path, "w") as f:
+        f.write("# Camera list with one line of data per camera:\n")
+        f.write("#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
+        for cam in cameras.values():
+            params = " ".join(repr(float(p)) for p in cam.params)
+            f.write(
+                f"{cam.camera_id} {cam.model} {cam.width} {cam.height} {params}\n"
+            )
+
+
+def read_images_txt(path) -> dict[int, ColmapImage]:
+    out = {}
+    # keep blank lines: an image with zero 2D points has an empty body line
+    lines = [
+        l.strip()
+        for l in Path(path).read_text().splitlines()
+        if not l.strip().startswith("#")
+    ]
+    for head, body in zip(lines[0::2], lines[1::2]):
+        if not head:
+            continue
+        toks = head.split()
+        img_id = int(toks[0])
+        qvec = np.asarray([float(t) for t in toks[1:5]])
+        tvec = np.asarray([float(t) for t in toks[5:8]])
+        cam_id = int(toks[8])
+        name = toks[9]
+        b = body.split()
+        xys = np.asarray(
+            [[float(b[i]), float(b[i + 1])] for i in range(0, len(b), 3)]
+        ).reshape(-1, 2)
+        ids = np.asarray([int(b[i + 2]) for i in range(0, len(b), 3)], np.int64)
+        out[img_id] = ColmapImage(img_id, qvec, tvec, cam_id, name, xys, ids)
+    return out
+
+
+def write_images_txt(path, images: dict[int, ColmapImage]):
+    with open(path, "w") as f:
+        f.write("# Image list with two lines of data per image:\n")
+        f.write("#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n")
+        f.write("#   POINTS2D[] as (X, Y, POINT3D_ID)\n")
+        for im in images.values():
+            q = " ".join(repr(float(v)) for v in im.qvec)
+            t = " ".join(repr(float(v)) for v in im.tvec)
+            f.write(f"{im.image_id} {q} {t} {im.camera_id} {im.name}\n")
+            f.write(
+                " ".join(
+                    f"{repr(float(xy[0]))} {repr(float(xy[1]))} {int(pid)}"
+                    for xy, pid in zip(im.xys, im.point3D_ids)
+                )
+                + "\n"
+            )
+
+
+def read_points3d_txt(path) -> dict[int, ColmapPoint3D]:
+    out = {}
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        toks = line.split()
+        pid = int(toks[0])
+        xyz = np.asarray([float(t) for t in toks[1:4]])
+        rgb = np.asarray([int(t) for t in toks[4:7]], np.uint8)
+        err = float(toks[7])
+        track = toks[8:]
+        out[pid] = ColmapPoint3D(
+            pid, xyz, rgb, err,
+            np.asarray([int(t) for t in track[0::2]], np.int32),
+            np.asarray([int(t) for t in track[1::2]], np.int32),
+        )
+    return out
+
+
+def write_points3d_txt(path, points: dict[int, ColmapPoint3D]):
+    with open(path, "w") as f:
+        f.write("# 3D point list with one line of data per point:\n")
+        f.write(
+            "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+            "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n"
+        )
+        for p in points.values():
+            xyz = " ".join(repr(float(v)) for v in p.xyz)
+            rgb = " ".join(str(int(v)) for v in p.rgb)
+            track = " ".join(
+                f"{int(i)} {int(j)}"
+                for i, j in zip(p.image_ids, p.point2D_idxs)
+            )
+            f.write(f"{p.point3D_id} {xyz} {rgb} {repr(float(p.error))} {track}\n")
+
+
+def write_model(path, cameras, images, points, ext: str = ".bin"):
+    """Write a COLMAP model in binary or text format (the reference writes
+    both, coarse_colmap_dataset.py:312 / read_write_model.py)."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    write_cameras_bin(path / "cameras.bin", cameras)
-    write_images_bin(path / "images.bin", images)
-    write_points3d_bin(path / "points3D.bin", points)
+    if ext == ".bin":
+        write_cameras_bin(path / "cameras.bin", cameras)
+        write_images_bin(path / "images.bin", images)
+        write_points3d_bin(path / "points3D.bin", points)
+    elif ext == ".txt":
+        write_cameras_txt(path / "cameras.txt", cameras)
+        write_images_txt(path / "images.txt", images)
+        write_points3d_txt(path / "points3D.txt", points)
+    else:
+        raise ValueError(f"unknown model format {ext!r}")
 
 
-def read_model(path):
+def read_model(path, ext: str | None = None):
+    """Read a COLMAP model; autodetects .bin/.txt when ext is None."""
     path = Path(path)
-    return (
-        read_cameras_bin(path / "cameras.bin"),
-        read_images_bin(path / "images.bin"),
-        read_points3d_bin(path / "points3D.bin"),
-    )
+    if ext is None:
+        ext = ".bin" if (path / "cameras.bin").exists() else ".txt"
+    if ext == ".bin":
+        return (
+            read_cameras_bin(path / "cameras.bin"),
+            read_images_bin(path / "images.bin"),
+            read_points3d_bin(path / "points3D.bin"),
+        )
+    if ext == ".txt":
+        return (
+            read_cameras_txt(path / "cameras.txt"),
+            read_images_txt(path / "images.txt"),
+            read_points3d_txt(path / "points3D.txt"),
+        )
+    raise ValueError(f"unknown model format {ext!r}")
 
 
 def export_map(path, poses6: np.ndarray, Ks: np.ndarray, image_hw, sfm_map):

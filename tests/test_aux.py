@@ -159,3 +159,43 @@ def test_adapt_dtypes():
     assert tpu.matcher.n_points == cfg.matcher.n_points
     # no-op returns an equal tree
     assert cfg_lib.adapt_dtypes(tpu, backend="tpu") == tpu
+
+
+def test_colmap_text_model_roundtrip(tmp_path, rng):
+    """Text-format model write/read matches binary exactly (repr floats)."""
+    cams = {
+        2: colmap_io.ColmapCamera(
+            2, "SIMPLE_PINHOLE", 640, 480, np.array([500.25, 320.0, 240.0])
+        )
+    }
+    imgs = {
+        7: colmap_io.ColmapImage(
+            7, np.array([0.9689124, 0.247404, 0.0, 0.0]),
+            np.array([0.1, -0.2, 2.5]), 2, "seq0/frame7.png",
+            rng.uniform(0, 640, size=(4, 2)),
+            np.array([-1, 3, -1, 12], np.int64),
+        ),
+        8: colmap_io.ColmapImage(
+            8, np.array([1.0, 0.0, 0.0, 0.0]), np.zeros(3), 2, "f8.png",
+            np.zeros((0, 2)), np.zeros(0, np.int64),
+        ),
+    }
+    pts = {
+        3: colmap_io.ColmapPoint3D(
+            3, np.array([0.015, -0.33, 1.75]), np.array([10, 200, 30], np.uint8),
+            0.73, np.array([7, 8], np.int32), np.array([1, 3], np.int32),
+        )
+    }
+    colmap_io.write_model(tmp_path, cams, imgs, pts, ext=".txt")
+    assert (tmp_path / "cameras.txt").exists()
+    c2, i2, p2 = colmap_io.read_model(tmp_path)  # autodetects .txt
+    np.testing.assert_array_equal(c2[2].params, cams[2].params)
+    assert c2[2].model == "SIMPLE_PINHOLE"
+    np.testing.assert_array_equal(i2[7].qvec, imgs[7].qvec)
+    np.testing.assert_array_equal(i2[7].xys, imgs[7].xys)
+    np.testing.assert_array_equal(i2[7].point3D_ids, imgs[7].point3D_ids)
+    assert i2[7].name == "seq0/frame7.png"
+    assert len(i2[8].xys) == 0
+    np.testing.assert_array_equal(p2[3].xyz, pts[3].xyz)
+    np.testing.assert_array_equal(p2[3].image_ids, pts[3].image_ids)
+    assert p2[3].error == 0.73
