@@ -18,7 +18,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .bundle import BundleInfo, BundleProblem, solve_bundle
 
@@ -49,7 +49,7 @@ def solve_bundle_sharded(
         )
 
     psum = functools.partial(jax.lax.psum, axis_name=axis)
-    pvary = functools.partial(jax.lax.pvary, axis_name=axis)
+    pvary = functools.partial(jax.lax.pcast, axis_name=axis, to="varying")
     huber = prob.huber_px
 
     sharded = P(axis)
