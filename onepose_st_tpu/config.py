@@ -189,6 +189,30 @@ class SfMConfig:
 
 
 @dataclass(frozen=True)
+class TrackerConfig:
+    """Learned windowed point tracker (reference: CoTracker2 submodule, used
+    by inference.py:239-398 for post-hoc temporal pose refinement).
+
+    A CoTracker-style iterative tracker: per-(frame, point) tokens built
+    from a multi-scale correlation pyramid around the current estimate,
+    refined by a transformer that alternates attention over the time axis
+    and over the point set, applied `update_iters` times with shared
+    weights. Window length and point capacity are static (XLA shapes).
+    """
+    window: int = 8            # frames per tracked window (CoTracker: 8)
+    stride: int = 4            # feature-map stride of the encoder
+    feat_dim: int = 128        # encoder output channels
+    levels: int = 3            # correlation pyramid levels (x1, x2, x4 pooling)
+    radius: int = 3            # correlation window radius -> (2r+1)^2 taps/level
+    d_model: int = 256
+    nhead: int = 8
+    num_blocks: int = 3        # (time-attn, point-attn) blocks per iteration
+    update_iters: int = 4
+    flow_freqs: int = 8        # sinusoidal frequencies for the Δuv embedding
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
 class EngineConfig:
     """Top-level config."""
     matcher: MatcherConfig = field(default_factory=MatcherConfig)
@@ -196,6 +220,7 @@ class EngineConfig:
     train: TrainConfig = field(default_factory=TrainConfig)
     pnp: PnPConfig = field(default_factory=PnPConfig)
     sfm: SfMConfig = field(default_factory=SfMConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
 
 
 def replace(cfg, **kwargs):

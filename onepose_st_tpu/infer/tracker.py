@@ -5,13 +5,17 @@ each frame past `temp_thresh`, the 2D inlier points of the previous
 `window-1` frames are tracked into the current frame and injected — with
 their known 3D partners — into a second RANSAC PnP.
 
-Instead of vendoring a transformer tracker, the tracker here is a
-TPU-native chained correlation tracker over the matcher backbone's fine
-(stride-2) features: each query keeps its source-frame descriptor and is
-advanced frame-by-frame through the window by correlating against a
-(2r+1)^2 search window and soft-argmax refinement — batched over points, it
-is a handful of matmuls per step. Same API role as
-CoTrackerPredictor(..., backward_tracking) in the reference.
+Two tracker backends fill the CoTrackerPredictor(..., backward_tracking)
+role:
+  * `TemporalTracker` — a zero-training chained correlation tracker over
+    the matcher backbone's fine (stride-2) features: each query keeps its
+    source-frame descriptor and is advanced frame-by-frame by correlating
+    against a (2r+1)^2 search window with soft-argmax refinement.
+  * `LearnedTemporalTracker` — the trained CoTracker-style windowed
+    transformer (`models/tracker.py`), occlusion-aware like the
+    reference's; one jitted program tracks a whole window and feeds the
+    same union-PnP.
+`refine_sequence` accepts either.
 """
 from __future__ import annotations
 
@@ -144,6 +148,95 @@ def _track_points_step(
     return uv, conf
 
 
+class LearnedTemporalTracker:
+    """Trained CoTracker-style windowed tracker backend.
+
+    Wraps `models.tracker.CoTrackerNet`: `variables` come from
+    `train/tracker_train.py` training (see examples/train_tracker.py) via
+    `load_params` / `save_params`. `vis_threshold` gates tracked points on
+    the predicted visibility probability before they enter the union PnP.
+    """
+
+    def __init__(self, tracker_cfg, variables, vis_threshold: float = 0.5):
+        from ..models.tracker import CoTrackerNet
+
+        self.cfg = tracker_cfg
+        self.model = CoTrackerNet(tracker_cfg)
+        self.variables = variables
+        self.vis_threshold = vis_threshold
+
+    @staticmethod
+    def save_params(variables, path) -> None:
+        import flax.serialization as ser
+
+        with open(path, "wb") as f:
+            f.write(ser.to_bytes(variables))
+
+    @staticmethod
+    def load(tracker_cfg, path, **kw) -> "LearnedTemporalTracker":
+        import flax.serialization as ser
+        import jax
+
+        from ..models.tracker import CoTrackerNet
+
+        # template tree for deserialization: init with tiny shapes
+        model = CoTrackerNet(tracker_cfg)
+        T = tracker_cfg.window
+        template = jax.eval_shape(
+            lambda k: model.init(
+                k,
+                jnp.zeros((1, T, 32, 32)),
+                jnp.zeros((1, 4, 2)),
+                jnp.zeros((1, 4), jnp.int32),
+                jnp.ones((1, 4), bool),
+            ),
+            jax.random.key(0),
+        )
+        template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template)
+        with open(path, "rb") as f:
+            variables = ser.from_bytes(template, f.read())
+        return LearnedTemporalTracker(tracker_cfg, variables, **kw)
+
+
+def _window_track_pnp_learned(
+    variables,
+    frames_win: jax.Array,  # [W, H, W_img] grayscale window (frames t-W+1..t)
+    uv0: jax.Array,         # [N, 2] query positions at their birth frames
+    birth: jax.Array,       # [N] int32 window index (W for padding slots)
+    trk_pts3d: jax.Array,   # [N, 3]
+    own_pts3d: jax.Array,   # [K, 3]
+    own_uv: jax.Array,      # [K, 2]
+    own_valid: jax.Array,   # [K]
+    K_mat: jax.Array,       # [3, 3]
+    key: jax.Array,
+    *,
+    model,
+    vis_threshold: float,
+    pnp_cfg,
+):
+    """Learned-tracker analogue of `_window_track_pnp`: one program per
+    refined frame — the transformer tracks every window query to the target
+    frame, visibility-gated points join the frame's own inliers in PnP."""
+    W = frames_win.shape[0]
+    point_mask = birth < W
+    out = model.apply(
+        variables,
+        frames_win[None],
+        uv0[None],
+        jnp.minimum(birth, W - 1)[None],
+        point_mask[None],
+    )
+    uv = out["coords"][0, -1]                       # position at target frame
+    vis_p = jax.nn.sigmoid(out["vis_logit"][0, -1])
+    trk_valid = (birth < W - 1) & (vis_p > vis_threshold)
+
+    P3 = jnp.concatenate([own_pts3d, trk_pts3d], axis=0)
+    P2 = jnp.concatenate([own_uv, uv], axis=0)
+    val = jnp.concatenate([own_valid, trk_valid], axis=0)
+    res = ransac_pnp(key, P3, P2, K_mat, val, pnp_cfg)
+    return res.pose6, res.n_inliers, res.success, jnp.sum(trk_valid)
+
+
 class RefinedResult(NamedTuple):
     pose6: np.ndarray
     T44: np.ndarray
@@ -204,7 +297,7 @@ def _window_track_pnp(
 
 def refine_sequence(
     cfg: EngineConfig,
-    tracker: TemporalTracker,
+    tracker: "TemporalTracker | LearnedTemporalTracker",
     frames: np.ndarray,            # [T, H, W] grayscale
     results: list[FrameResult],
     Ks: np.ndarray,                # [T, 3, 3] (full image)
@@ -216,14 +309,18 @@ def refine_sequence(
 
     For each frame t >= window-1: track the previous window-1 frames'
     PnP-inlier 2D points into frame t and re-run PnP on the union of the
-    frame's own inliers and the tracked points.
+    frame's own inliers and the tracked points. `tracker` selects the
+    backend (correlation chain or the learned windowed transformer).
     """
     from ..core import so3
 
+    learned = isinstance(tracker, LearnedTemporalTracker)
     T = len(frames)
     W = window
-    feat_seq = tracker.features(frames)        # [T, Hf, Wf, C] device-resident
-    stride = frames.shape[1] / feat_seq.shape[1]
+
+    if not learned:
+        feat_seq = tracker.features(frames)    # [T, Hf, Wf, C] device-resident
+        stride = frames.shape[1] / feat_seq.shape[1]
 
     # per-frame query prep: fixed-capacity buffers; descriptors sampled ONCE
     # per frame in its own feature map (reused by every window containing it)
@@ -238,24 +335,37 @@ def refine_sequence(
         n_src[s] = n
         uv_buf[s, :n] = r.mkpts2d_full[:n]
         p3_buf[s, :n] = r.mkpts3d[:n]
-        descs[s] = tracker._sample_desc(
-            feat_seq[s], jnp.asarray(uv_buf[s]), stride
+        if not learned:
+            descs[s] = tracker._sample_desc(
+                feat_seq[s], jnp.asarray(uv_buf[s]), stride
+            )
+    if not learned:
+        zero_desc = jnp.zeros_like(
+            next((d for d in descs if d is not None), jnp.zeros((max_pts_per_frame, feat_seq.shape[-1])))
         )
-    zero_desc = jnp.zeros_like(
-        next((d for d in descs if d is not None), jnp.zeros((max_pts_per_frame, feat_seq.shape[-1])))
-    )
 
     # own-inlier capacity = the PnP match capacity (never truncates)
     K_own = cfg.matcher.coarse_matching.max_matches
-    job = jax.jit(partial(
-        _window_track_pnp,
-        stride=float(stride),
-        radius=tracker.radius,
-        iters=tracker.iters,
-        temperature=tracker.temperature,
-        conf_thr=conf_thr,
-        pnp_cfg=cfg.pnp,
-    ))
+    if learned:
+        frames_f = np.asarray(frames, np.float32)
+        if frames_f.max() > 1.5:  # uint8-range input
+            frames_f = frames_f / 255.0
+        job = jax.jit(partial(
+            _window_track_pnp_learned,
+            model=tracker.model,
+            vis_threshold=tracker.vis_threshold,
+            pnp_cfg=cfg.pnp,
+        ))
+    else:
+        job = jax.jit(partial(
+            _window_track_pnp,
+            stride=float(stride),
+            radius=tracker.radius,
+            iters=tracker.iters,
+            temperature=tracker.temperature,
+            conf_thr=conf_thr,
+            pnp_cfg=cfg.pnp,
+        ))
 
     out: list[RefinedResult] = []
     for t in range(T):
@@ -264,9 +374,6 @@ def refine_sequence(
             out.append(RefinedResult(base.pose6, base.T44, base.n_inliers, 0))
             continue
         srcs = list(range(t - W + 1, t))
-        desc = jnp.concatenate(
-            [descs[s] if descs[s] is not None else zero_desc for s in srcs]
-        )
         uv0 = np.concatenate([uv_buf[s] for s in srcs])
         trk3d = np.concatenate([p3_buf[s] for s in srcs])
         birth = np.concatenate([
@@ -281,12 +388,23 @@ def refine_sequence(
         own_p3[:n_own] = base.mkpts3d[:n_own]
         own_val[:n_own] = True
 
-        feat_win = jax.lax.dynamic_slice_in_dim(feat_seq, t - W + 1, W, 0)
-        pose6_d, n_inl_d, success_d, used_d = job(
-            feat_win, desc, jnp.asarray(uv0), jnp.asarray(birth),
-            jnp.asarray(trk3d), jnp.asarray(own_p3), jnp.asarray(own_uv),
-            jnp.asarray(own_val), jnp.asarray(Ks[t]), jax.random.key(t),
-        )
+        if learned:
+            pose6_d, n_inl_d, success_d, used_d = job(
+                tracker.variables, jnp.asarray(frames_f[t - W + 1: t + 1]),
+                jnp.asarray(uv0), jnp.asarray(birth), jnp.asarray(trk3d),
+                jnp.asarray(own_p3), jnp.asarray(own_uv), jnp.asarray(own_val),
+                jnp.asarray(Ks[t]), jax.random.key(t),
+            )
+        else:
+            desc = jnp.concatenate(
+                [descs[s] if descs[s] is not None else zero_desc for s in srcs]
+            )
+            feat_win = jax.lax.dynamic_slice_in_dim(feat_seq, t - W + 1, W, 0)
+            pose6_d, n_inl_d, success_d, used_d = job(
+                feat_win, desc, jnp.asarray(uv0), jnp.asarray(birth),
+                jnp.asarray(trk3d), jnp.asarray(own_p3), jnp.asarray(own_uv),
+                jnp.asarray(own_val), jnp.asarray(Ks[t]), jax.random.key(t),
+            )
         n_inl = int(n_inl_d)
         if not bool(success_d) or n_inl < cfg.pnp.min_inliers:
             # drifted tracks can out-vote the frame's own inliers; never

@@ -1,0 +1,179 @@
+"""Synthetic training clips for the learned point tracker.
+
+The reference consumes CoTracker2 as a pretrained black box (its weights
+are a pinned submodule checkpoint); since no weights ship with the repo,
+we train our tracker from scratch. Supervision comes from procedurally
+generated clips with exact ground truth: a richly textured base image is
+animated by a smooth random homography walk (so every pixel's trajectory
+is known in closed form), photometric jitter and sensor noise are applied
+per frame, and a moving opaque occluder provides visibility supervision
+beyond image-border exits.
+
+This mirrors how point trackers are actually trained (synthetic videos
+with perfect tracks — CoTracker uses TAP-Vid-Kubric) at a fraction of the
+complexity, and it is enough for the short 8-frame windows the pose
+refinement phase needs.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import cv2
+import numpy as np
+
+
+class TrackingClip(NamedTuple):
+    frames: np.ndarray        # [T, H, W] float32 in [0, 1]
+    query_uv: np.ndarray      # [N, 2] image px at the birth frame
+    query_frame: np.ndarray   # [N] int32
+    gt_uv: np.ndarray         # [T, N, 2]
+    gt_vis: np.ndarray        # [T, N] bool
+    point_mask: np.ndarray    # [N] bool
+
+
+def _texture(rng: np.random.Generator, H: int, W: int) -> np.ndarray:
+    """Multi-scale noise + random shapes: dense, aliasing-free texture."""
+    img = np.zeros((H, W), np.float32)
+    for scale, amp in ((4, 0.5), (16, 0.3), (64, 0.2)):
+        small = rng.uniform(size=(max(H // scale, 2), max(W // scale, 2)))
+        img += amp * cv2.resize(
+            small.astype(np.float32), (W, H), interpolation=cv2.INTER_CUBIC
+        )
+    for _ in range(8):
+        c = (int(rng.uniform(0, W)), int(rng.uniform(0, H)))
+        r = int(rng.uniform(4, max(H, W) / 6))
+        cv2.circle(img, c, r, float(rng.uniform(0, 1)), -1)
+    img = cv2.GaussianBlur(img, (0, 0), 1.0)
+    lo, hi = img.min(), img.max()
+    return (img - lo) / (hi - lo + 1e-8)
+
+
+def _homography_walk(
+    rng: np.random.Generator, T: int, H: int, W: int, motion: float
+) -> np.ndarray:
+    """[T, 3, 3] H_t mapping base-image coords -> frame-t coords, smooth.
+
+    Corner-displacement random walk with momentum: each of the 4 base
+    corners drifts with a velocity AR(1) process, and H_t is the exact
+    4-point homography — guarantees invertibility-by-construction for the
+    ground-truth track math.
+    """
+    base = np.array(
+        [[0, 0], [W - 1, 0], [W - 1, H - 1], [0, H - 1]], np.float32
+    )
+    vel = rng.normal(size=(4, 2)).astype(np.float32) * motion
+    disp = np.zeros((4, 2), np.float32)
+    Hs = []
+    for _ in range(T):
+        Hs.append(cv2.getPerspectiveTransform(base, base + disp))
+        vel = 0.9 * vel + rng.normal(size=(4, 2)).astype(np.float32) * motion * 0.5
+        disp = disp + vel
+    return np.stack(Hs).astype(np.float32)
+
+
+def _apply_H(Hmat: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    p = np.concatenate([uv, np.ones_like(uv[:, :1])], axis=1) @ Hmat.T
+    return p[:, :2] / p[:, 2:3]
+
+
+def make_clip(
+    rng: np.random.Generator,
+    T: int = 8,
+    H: int = 256,
+    W: int = 256,
+    n_points: int = 128,
+    motion: float = 3.0,
+    occluder: bool = True,
+    noise: float = 0.02,
+) -> TrackingClip:
+    base = _texture(rng, H + 64, W + 64)  # margin so content slides in/out
+    Hs = _homography_walk(rng, T, H, W, motion)
+    # offset: render the centre crop of the enlarged base
+    off = np.array([[1, 0, -32.0], [0, 1, -32.0], [0, 0, 1]], np.float32)
+
+    frames = np.empty((T, H, W), np.float32)
+    for t in range(T):
+        M = Hs[t] @ off
+        f = cv2.warpPerspective(base, M, (W, H), flags=cv2.INTER_LINEAR)
+        gain = rng.uniform(0.8, 1.2)
+        bias = rng.uniform(-0.08, 0.08)
+        frames[t] = np.clip(f * gain + bias, 0, 1)
+
+    # occluder: a filled rectangle drifting across the clip
+    occ_boxes = np.zeros((T, 4), np.float32)  # x0 y0 x1 y1
+    if occluder:
+        cw, ch = rng.uniform(0.15, 0.35, size=2) * np.array([W, H])
+        cx, cy = rng.uniform(0.2, 0.8, size=2) * np.array([W, H])
+        vx, vy = rng.normal(size=2) * motion * 1.5
+        shade = rng.uniform(0, 1)
+        for t in range(T):
+            x0, y0 = cx - cw / 2, cy - ch / 2
+            occ_boxes[t] = (x0, y0, x0 + cw, y0 + ch)
+            cv2.rectangle(
+                frames[t], (int(x0), int(y0)), (int(x0 + cw), int(y0 + ch)),
+                shade, -1,
+            )
+            cx, cy = cx + vx, cy + vy
+
+    if noise > 0:
+        frames = np.clip(
+            frames + rng.normal(size=frames.shape).astype(np.float32) * noise,
+            0, 1,
+        ).astype(np.float32)
+
+    # queries: birth frames spread over the window (backward tracking needs
+    # births > 0); locations sampled where the point is visible at birth
+    query_frame = rng.integers(0, T, size=n_points).astype(np.int32)
+    query_uv = np.empty((n_points, 2), np.float32)
+    margin = 8.0
+    for i in range(n_points):
+        b = query_frame[i]
+        for _ in range(20):
+            uv = rng.uniform(margin, [W - margin, H - margin]).astype(np.float32)
+            x0, y0, x1, y1 = occ_boxes[b]
+            if occluder and x0 <= uv[0] <= x1 and y0 <= uv[1] <= y1:
+                continue
+            break
+        query_uv[i] = uv
+
+    # ground truth: uv_t = H_t (H_b)^-1 uv_b
+    gt_uv = np.empty((T, n_points, 2), np.float32)
+    for t in range(T):
+        for b in np.unique(query_frame):
+            sel = query_frame == b
+            M = Hs[t] @ np.linalg.inv(Hs[b])
+            gt_uv[t, sel] = _apply_H(M, query_uv[sel])
+    inb = (
+        (gt_uv[..., 0] >= 0) & (gt_uv[..., 0] <= W - 1)
+        & (gt_uv[..., 1] >= 0) & (gt_uv[..., 1] <= H - 1)
+    )
+    occ = (
+        (gt_uv[..., 0] >= occ_boxes[:, None, 0])
+        & (gt_uv[..., 0] <= occ_boxes[:, None, 2])
+        & (gt_uv[..., 1] >= occ_boxes[:, None, 1])
+        & (gt_uv[..., 1] <= occ_boxes[:, None, 3])
+    )
+    gt_vis = inb & ~occ
+
+    return TrackingClip(
+        frames=frames,
+        query_uv=query_uv,
+        query_frame=query_frame,
+        gt_uv=gt_uv,
+        gt_vis=gt_vis,
+        point_mask=np.ones(n_points, bool),
+    )
+
+
+def make_batch(
+    rng: np.random.Generator, batch: int, **kw
+) -> dict[str, np.ndarray]:
+    clips = [make_clip(rng, **kw) for _ in range(batch)]
+    return {
+        "frames": np.stack([c.frames for c in clips]),
+        "query_uv": np.stack([c.query_uv for c in clips]),
+        "query_frame": np.stack([c.query_frame for c in clips]),
+        "gt_uv": np.stack([c.gt_uv for c in clips]),
+        "gt_vis": np.stack([c.gt_vis for c in clips]),
+        "point_mask": np.stack([c.point_mask for c in clips]),
+    }

@@ -1,0 +1,215 @@
+"""Learned point tracker: data generator GT, forward contract, learning."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onepose_st_tpu import config as cfg_lib
+from onepose_st_tpu.models.tracker import CoTrackerNet
+from onepose_st_tpu.train import tracker_data, tracker_train
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        window=4, feat_dim=32, levels=2, radius=2, d_model=32, nhead=2,
+        num_blocks=1, update_iters=2, dtype="float32",
+    )
+    base.update(kw)
+    return cfg_lib.TrackerConfig(**base)
+
+
+def test_clip_ground_truth_consistency(rng):
+    clip = tracker_data.make_clip(
+        rng, T=5, H=96, W=96, n_points=32, occluder=False, noise=0.0
+    )
+    # the birth-frame ground truth IS the query
+    idx = np.arange(32)
+    birth_uv = clip.gt_uv[clip.query_frame, idx]
+    np.testing.assert_allclose(birth_uv, clip.query_uv, atol=1e-3)
+    # visibility == in-bounds when there is no occluder
+    inb = (
+        (clip.gt_uv[..., 0] >= 0) & (clip.gt_uv[..., 0] <= 95)
+        & (clip.gt_uv[..., 1] >= 0) & (clip.gt_uv[..., 1] <= 95)
+    )
+    np.testing.assert_array_equal(clip.gt_vis, inb)
+    assert clip.frames.shape == (5, 96, 96)
+    assert clip.frames.min() >= 0 and clip.frames.max() <= 1
+    # texture actually moves: consecutive frames differ
+    assert np.abs(np.diff(clip.frames, axis=0)).mean() > 1e-3
+
+
+def test_occluder_hides_points(rng):
+    clip = tracker_data.make_clip(
+        rng, T=4, H=96, W=96, n_points=64, occluder=True, noise=0.0
+    )
+    idx = np.arange(64)
+    # a query is always visible at its own birth frame
+    assert clip.gt_vis[clip.query_frame, idx].all()
+
+
+def test_forward_contract(rng):
+    cfg = tiny_cfg()
+    model = CoTrackerNet(cfg)
+    b = tracker_data.make_batch(rng, 2, T=4, H=64, W=64, n_points=16)
+    args = (
+        jnp.asarray(b["frames"]), jnp.asarray(b["query_uv"]),
+        jnp.asarray(b["query_frame"]), jnp.asarray(b["point_mask"]),
+    )
+    variables = jax.jit(model.init)(jax.random.key(0), *args)
+    out = jax.jit(model.apply)(variables, *args)
+    B, T, N = 2, 4, 16
+    assert out["coords"].shape == (B, T, N, 2)
+    assert out["coords_per_iter"].shape == (cfg.update_iters, B, T, N, 2)
+    assert out["vis_logit"].shape == (B, T, N)
+    assert np.isfinite(np.asarray(out["coords"])).all()
+    # birth-frame positions are clamped to the query
+    coords = np.asarray(out["coords"])
+    for bi in range(B):
+        for n in range(N):
+            t = int(b["query_frame"][bi, n])
+            np.testing.assert_allclose(
+                coords[bi, t, n], b["query_uv"][bi, n], atol=1e-3
+            )
+
+
+def test_train_step_learns(rng):
+    cfg = tiny_cfg()
+    model = CoTrackerNet(cfg)
+    batch = tracker_data.make_batch(
+        rng, 2, T=4, H=64, W=64, n_points=16, motion=2.0
+    )
+    batch_d = {k: jnp.asarray(v) for k, v in batch.items()}
+    tx = tracker_train.make_optimizer(lr=1e-3, steps=60)
+    state = tracker_train.init_state(jax.random.key(0), model, tx, batch)
+    jitted = jax.jit(
+        tracker_train.train_step, static_argnames=("model", "tx", "cfg")
+    )
+    first = None
+    for _ in range(60):
+        state, sc = jitted(state, batch_d, model=model, tx=tx, cfg=cfg)
+        if first is None:
+            first = {k: float(v) for k, v in sc.items()}
+    last = {k: float(v) for k, v in sc.items()}
+    assert np.isfinite(last["loss"])
+    # overfitting a fixed tiny batch must cut the loss substantially
+    assert last["loss"] < 0.7 * first["loss"], (first, last)
+    assert last["epe"] < first["epe"]
+
+
+@pytest.mark.slow
+def test_tracker_beats_identity_baseline(rng):
+    """A briefly trained tracker must beat the 'stay at the query' baseline
+    on held-out clips (the actual value it adds over initialization)."""
+    cfg = tiny_cfg(update_iters=3)
+    model = CoTrackerNet(cfg)
+    tx = tracker_train.make_optimizer(lr=2e-3, steps=150)
+    sample = tracker_data.make_batch(rng, 4, T=4, H=64, W=64, n_points=32)
+    state = tracker_train.init_state(jax.random.key(0), model, tx, sample)
+    jitted = jax.jit(
+        tracker_train.train_step, static_argnames=("model", "tx", "cfg")
+    )
+    for i in range(150):
+        batch = tracker_data.make_batch(
+            rng, 4, T=4, H=64, W=64, n_points=32, motion=2.0
+        )
+        batch_d = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, sc = jitted(state, batch_d, model=model, tx=tx, cfg=cfg)
+
+    test_rng = np.random.default_rng(123)
+    tb = tracker_data.make_batch(
+        test_rng, 4, T=4, H=64, W=64, n_points=32, motion=2.0
+    )
+    out = jax.jit(model.apply)(
+        {"params": state.params},
+        jnp.asarray(tb["frames"]), jnp.asarray(tb["query_uv"]),
+        jnp.asarray(tb["query_frame"]), jnp.asarray(tb["point_mask"]),
+    )
+    vis = tb["gt_vis"]
+    err = np.linalg.norm(np.asarray(out["coords"]) - tb["gt_uv"], axis=-1)
+    base = np.linalg.norm(
+        tb["query_uv"][:, None] - tb["gt_uv"], axis=-1
+    )
+    epe = err[vis].mean()
+    base_epe = base[vis].mean()
+    assert epe < 0.8 * base_epe, (epe, base_epe)
+
+
+def test_refine_sequence_learned_backend(rng):
+    """refine_sequence runs with the learned backend and never replaces a
+    gated per-frame pose with a weaker consensus (untrained weights =>
+    garbage tracks => the gate must hold base poses)."""
+    from onepose_st_tpu import config as ecfg
+    from onepose_st_tpu.data import synthetic
+    from onepose_st_tpu.infer.pipeline import FrameResult
+    from onepose_st_tpu.infer.tracker import (
+        LearnedTemporalTracker, refine_sequence,
+    )
+
+    scene = synthetic.make_scene(
+        rng, n_points=70, n_frames=60, image_hw=(64, 64), focal=90.0,
+        object_size=0.25, elevation_jitter=0.0,
+    )
+    T = 8
+    amps = rng.uniform(0.3, 1.0, size=70).astype(np.float32)
+    frames = np.stack([
+        synthetic.render_splats(scene, f, amps, sigma_px=2.0)
+        for f in range(T)
+    ])
+
+    def T44_of(f):
+        M = np.eye(4, dtype=np.float32)
+        M[:3, :3] = scene.Rs[f]
+        M[:3, 3] = scene.ts[f]
+        return M
+
+    results = []
+    for f in range(T):
+        vis = np.nonzero(scene.visible[f])[0][:40]
+        uv = scene.uv[f][vis]
+        p3 = scene.points[vis]
+        results.append(FrameResult(
+            pose6=scene.poses[f], T44=T44_of(f), n_inliers=len(uv),
+            n_matches=len(uv), tracked=True, success=True,
+            mkpts3d=p3.astype(np.float32), mkpts2d_full=uv.astype(np.float32),
+        ))
+
+    cfg = ecfg.EngineConfig(tracker=tiny_cfg(window=6))
+    b = tracker_data.make_batch(np.random.default_rng(1), 1, T=6, H=64, W=64, n_points=8)
+    model = CoTrackerNet(cfg.tracker)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.asarray(b["frames"]), jnp.asarray(b["query_uv"]),
+        jnp.asarray(b["query_frame"]), jnp.asarray(b["point_mask"]),
+    )
+    tracker = LearnedTemporalTracker(cfg.tracker, variables)
+    refined = refine_sequence(
+        cfg, tracker, frames, results, scene.Ks, window=6,
+        max_pts_per_frame=16,
+    )
+    assert len(refined) == T
+    for f, r in enumerate(refined):
+        assert np.isfinite(r.T44).all()
+        # gate property: the refined pose is either the base pose or a
+        # consensus with at least min_inliers support
+        same = np.allclose(r.T44, results[f].T44)
+        assert same or r.n_inliers >= cfg.pnp.min_inliers
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    from onepose_st_tpu.infer.tracker import LearnedTemporalTracker
+
+    cfg = tiny_cfg()
+    model = CoTrackerNet(cfg)
+    b = tracker_data.make_batch(rng, 1, T=4, H=64, W=64, n_points=8)
+    args = (
+        jnp.asarray(b["frames"]), jnp.asarray(b["query_uv"]),
+        jnp.asarray(b["query_frame"]), jnp.asarray(b["point_mask"]),
+    )
+    variables = jax.jit(model.init)(jax.random.key(0), *args)
+    path = tmp_path / "tracker.msgpack"
+    LearnedTemporalTracker.save_params(variables, path)
+    lt = LearnedTemporalTracker.load(cfg, path)
+    out_a = jax.jit(model.apply)(variables, *args)
+    out_b = jax.jit(model.apply)(lt.variables, *args)
+    np.testing.assert_allclose(
+        np.asarray(out_a["coords"]), np.asarray(out_b["coords"]), atol=1e-6
+    )
