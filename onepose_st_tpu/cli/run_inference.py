@@ -25,6 +25,10 @@ def main():
                     help="orbax checkpoint dir for the 2D-2D detector matcher")
     ap.add_argument("--refine", action="store_true",
                     help="temporal tracking second pass")
+    ap.add_argument("--tracker_ckpt", default=None,
+                    help="learned-tracker weights (examples/train_tracker.py "
+                         "msgpack); without it --refine uses the correlation "
+                         "tracker")
     ap.add_argument("--video", default=None)
     ap.add_argument("--eval", action="store_true",
                     help="report pose APs vs the sequence's GT poses")
@@ -147,9 +151,16 @@ def main():
 
     final_T = [r.T44 for r in results]
     if args.refine:
-        tracker = TemporalTracker(matcher, variables)
+        if args.tracker_ckpt:
+            from ..infer.tracker import LearnedTemporalTracker
+
+            tracker = LearnedTemporalTracker.load(cfg.tracker, args.tracker_ckpt)
+            window = cfg.tracker.window
+        else:
+            tracker = TemporalTracker(matcher, variables)
+            window = 6
         refined = refine_sequence(
-            cfg, tracker, seq.images, results, seq.Ks
+            cfg, tracker, seq.images, results, seq.Ks, window=window
         )
         final_T = [r.T44 for r in refined]
 

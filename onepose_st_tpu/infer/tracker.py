@@ -198,6 +198,17 @@ class LearnedTemporalTracker:
         return LearnedTemporalTracker(tracker_cfg, variables, **kw)
 
 
+
+def _own_support(pose6, own_pts3d, own_uv, own_valid, K_mat, thr):
+    """How many of the frame's own (matcher-verified) correspondences a pose
+    explains within the PnP reprojection threshold."""
+    from ..core import camera
+
+    uv, depth = camera.project(own_pts3d, pose6, K_mat)
+    err = jnp.linalg.norm(uv - own_uv, axis=-1)
+    return jnp.sum(own_valid & (depth > 0) & (err < thr))
+
+
 def _window_track_pnp_learned(
     variables,
     frames_win: jax.Array,  # [W, H, W_img] grayscale window (frames t-W+1..t)
@@ -208,6 +219,7 @@ def _window_track_pnp_learned(
     own_uv: jax.Array,      # [K, 2]
     own_valid: jax.Array,   # [K]
     K_mat: jax.Array,       # [3, 3]
+    base_pose6: jax.Array,  # [6] the frame's first-pass pose (gate reference)
     key: jax.Array,
     *,
     model,
@@ -234,7 +246,11 @@ def _window_track_pnp_learned(
     P2 = jnp.concatenate([own_uv, uv], axis=0)
     val = jnp.concatenate([own_valid, trk_valid], axis=0)
     res = ransac_pnp(key, P3, P2, K_mat, val, pnp_cfg)
-    return res.pose6, res.n_inliers, res.success, jnp.sum(trk_valid)
+    thr = pnp_cfg.reproj_threshold_px
+    n_own_ref = _own_support(res.pose6, own_pts3d, own_uv, own_valid, K_mat, thr)
+    n_own_base = _own_support(base_pose6, own_pts3d, own_uv, own_valid, K_mat, thr)
+    return (res.pose6, res.n_inliers, res.success, jnp.sum(trk_valid),
+            n_own_ref, n_own_base)
 
 
 class RefinedResult(NamedTuple):
@@ -255,6 +271,7 @@ def _window_track_pnp(
     own_uv: jax.Array,     # [K, 2]
     own_valid: jax.Array,  # [K] bool
     K_mat: jax.Array,      # [3, 3]
+    base_pose6: jax.Array, # [6] the frame's first-pass pose (gate reference)
     key: jax.Array,
     *,
     stride: float,
@@ -292,7 +309,11 @@ def _window_track_pnp(
     P2 = jnp.concatenate([own_uv, uv], axis=0)
     val = jnp.concatenate([own_valid, trk_valid], axis=0)
     res = ransac_pnp(key, P3, P2, K_mat, val, pnp_cfg)
-    return res.pose6, res.n_inliers, res.success, jnp.sum(trk_valid)
+    thr = pnp_cfg.reproj_threshold_px
+    n_own_ref = _own_support(res.pose6, own_pts3d, own_uv, own_valid, K_mat, thr)
+    n_own_base = _own_support(base_pose6, own_pts3d, own_uv, own_valid, K_mat, thr)
+    return (res.pose6, res.n_inliers, res.success, jnp.sum(trk_valid),
+            n_own_ref, n_own_base)
 
 
 def refine_sequence(
@@ -389,28 +410,35 @@ def refine_sequence(
         own_val[:n_own] = True
 
         if learned:
-            pose6_d, n_inl_d, success_d, used_d = job(
+            pose6_d, n_inl_d, success_d, used_d, n_own_ref_d, n_own_base_d = job(
                 tracker.variables, jnp.asarray(frames_f[t - W + 1: t + 1]),
                 jnp.asarray(uv0), jnp.asarray(birth), jnp.asarray(trk3d),
                 jnp.asarray(own_p3), jnp.asarray(own_uv), jnp.asarray(own_val),
-                jnp.asarray(Ks[t]), jax.random.key(t),
+                jnp.asarray(Ks[t]), jnp.asarray(base.pose6), jax.random.key(t),
             )
         else:
             desc = jnp.concatenate(
                 [descs[s] if descs[s] is not None else zero_desc for s in srcs]
             )
             feat_win = jax.lax.dynamic_slice_in_dim(feat_seq, t - W + 1, W, 0)
-            pose6_d, n_inl_d, success_d, used_d = job(
+            pose6_d, n_inl_d, success_d, used_d, n_own_ref_d, n_own_base_d = job(
                 feat_win, desc, jnp.asarray(uv0), jnp.asarray(birth),
                 jnp.asarray(trk3d), jnp.asarray(own_p3), jnp.asarray(own_uv),
-                jnp.asarray(own_val), jnp.asarray(Ks[t]), jax.random.key(t),
+                jnp.asarray(own_val), jnp.asarray(Ks[t]), jnp.asarray(base.pose6),
+                jax.random.key(t),
             )
         n_inl = int(n_inl_d)
-        if not bool(success_d) or n_inl < cfg.pnp.min_inliers:
-            # drifted tracks can out-vote the frame's own inliers; never
-            # replace a gated per-frame pose with a weaker consensus
-            # (the reference keeps both and renders the comparison,
-            # inference.py:322-336 — we keep the stronger one)
+        # Acceptance gates (the reference keeps both poses and renders the
+        # comparison, inference.py:322-336 — we keep the stronger one):
+        #   1. the union consensus must be a real consensus;
+        #   2. the refined pose must explain the frame's own matcher-verified
+        #      correspondences at least as well as the first-pass pose did —
+        #      a horde of coherently drifted tracks can out-vote the own
+        #      inliers in RANSAC, and this is the check that catches it.
+        ok = bool(success_d) and n_inl >= cfg.pnp.min_inliers
+        if ok and int(n_own_ref_d) < 0.8 * int(n_own_base_d):
+            ok = False
+        if not ok:
             out.append(RefinedResult(base.pose6, base.T44, base.n_inliers, 0))
             continue
         pose6 = np.asarray(pose6_d)

@@ -186,12 +186,14 @@ def test_refine_sequence_learned_backend(rng):
         max_pts_per_frame=16,
     )
     assert len(refined) == T
+    from onepose_st_tpu.core import metrics
     for f, r in enumerate(refined):
         assert np.isfinite(r.T44).all()
-        # gate property: the refined pose is either the base pose or a
-        # consensus with at least min_inliers support
-        same = np.allclose(r.T44, results[f].T44)
-        assert same or r.n_inliers >= cfg.pnp.min_inliers
+        # own-support gate: the base poses are ground truth with 40 clean
+        # inliers each; a horde of drifted tracks must never displace them
+        # (regression: pre-gate this degraded GT poses to ~18 deg error)
+        r_err, t_err = metrics.query_pose_error(r.T44[:3], T44_of(f)[:3])
+        assert r_err < 1.0 and t_err < 1.0, (f, r_err, t_err)
 
 
 def test_save_load_roundtrip(tmp_path, rng):
