@@ -68,6 +68,17 @@ def main():
     ap.add_argument("--elev_jitter", type=float, default=0.05,
                     help="per-frame elevation jitter (rad); lower = smoother "
                          "scan trajectory")
+    ap.add_argument("--refine", default="none",
+                    choices=["none", "correlation", "learned"],
+                    help="temporal second pass over the whole orbit as a "
+                         "video (the reference's CoTracker POSE OPTIMIZATION "
+                         "loop); reports APs before/after")
+    ap.add_argument("--tracker_ckpt", default=None,
+                    help="weights for --refine learned "
+                         "(examples/train_tracker.py output)")
+    ap.add_argument("--tracker_preset", default="small",
+                    choices=["tiny", "small", "full"],
+                    help="TrackerConfig the ckpt was trained with")
     ap.add_argument("--eval_conf_thr", type=float, default=None,
                     help="override the coarse confidence threshold at eval "
                          "(mutual-NN + RANSAC tolerate low-conf matches; "
@@ -213,6 +224,73 @@ def main():
         K=scene.Ks[0],
     )
     print("held-out pose metrics:", rep.row())
+
+    # --- optional temporal refinement over the full orbit as a video ------
+    if args.refine != "none":
+        from onepose_st_tpu.infer.pipeline import FrameResult
+        from onepose_st_tpu.infer.tracker import (
+            LearnedTemporalTracker, TemporalTracker, refine_sequence,
+        )
+
+        t0 = time.time()
+        results, gt_all = [], []
+        for t in range(args.frames):
+            out = apply(
+                trained, jnp.asarray(frames[t][None, ..., None]),
+                jnp.asarray(k)[None], jnp.asarray(dc)[None],
+                jnp.asarray(df)[None], jnp.asarray(mask)[None],
+            )
+            valid = np.asarray(out["matches"].valid[0])
+            P3 = np.asarray(out["mkpts3d"][0])
+            P2 = np.asarray(out["mkpts_query_f"][0])
+            res = ransac_pnp(
+                jax.random.key(int(t)), jnp.asarray(P3), jnp.asarray(P2),
+                jnp.asarray(scene.Ks[t]), jnp.asarray(valid), cfg.pnp,
+            )
+            inl = np.asarray(res.inliers) & valid
+            T44 = np.eye(4, dtype=np.float32)
+            R, tr = so3.pose6_to_Rt(res.pose6)
+            T44[:3, :3] = np.asarray(R)
+            T44[:3, 3] = np.asarray(tr)
+            n_inl = int(res.n_inliers)
+            results.append(FrameResult(
+                pose6=np.asarray(res.pose6), T44=T44, n_inliers=n_inl,
+                n_matches=int(valid.sum()), tracked=True,
+                success=bool(res.success) and n_inl >= cfg.pnp.min_inliers,
+                mkpts3d=P3[inl].astype(np.float32),
+                mkpts2d_full=P2[inl].astype(np.float32),
+            ))
+            G = np.eye(4)
+            G[:3, :3] = Rotation.from_rotvec(scene.poses[t, :3]).as_matrix()
+            G[:3, 3] = scene.poses[t, 3:]
+            gt_all.append(G)
+        print(f"per-frame pass over {args.frames} frames in {time.time()-t0:.1f}s")
+
+        if args.refine == "learned":
+            assert args.tracker_ckpt, "--refine learned needs --tracker_ckpt"
+            import train_tracker as tt  # sibling example: preset configs
+
+            tracker = LearnedTemporalTracker.load(
+                tt.build_cfg(args.tracker_preset), args.tracker_ckpt
+            )
+            window = tracker.cfg.window
+        else:
+            tracker = TemporalTracker(model, trained)
+            window = 6
+        t0 = time.time()
+        refined = refine_sequence(
+            cfg, tracker, frames, results, scene.Ks, window=window
+        )
+        print(f"refined in {time.time()-t0:.1f}s "
+              f"(tracks used: {[r.used_tracks for r in refined[window:window+8]]}...)")
+        sel = np.arange(window - 1, args.frames)
+        base_T = np.stack([results[f].T44 for f in sel])
+        ref_T = np.stack([refined[f].T44 for f in sel])
+        gt_sel = np.stack([gt_all[f] for f in sel])
+        rep_b = evaluate_poses(base_T, gt_sel, model_points=sfm_map.keypoints3d, K=scene.Ks[0])
+        rep_r = evaluate_poses(ref_T, gt_sel, model_points=sfm_map.keypoints3d, K=scene.Ks[0])
+        print("video pass  (per-frame):", rep_b.row())
+        print("video pass  (refined):  ", rep_r.row())
 
 
 if __name__ == "__main__":

@@ -107,9 +107,10 @@ def main():
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     hist = open(out_dir / "history.jsonl", "w")
+    prefetch = tracker_data.BatchPrefetcher(args.seed + 1, args.batch, **kw)
     t0 = time.time()
     for i in range(args.steps):
-        batch = tracker_data.make_batch(rng, args.batch, **kw)
+        batch = prefetch.next()
         batch_d = {k: jnp.asarray(v) for k, v in batch.items()}
         state, sc = jitted(state, batch_d, model=model, tx=tx, cfg=cfg)
         if i % 50 == 0 or i == args.steps - 1:
@@ -124,6 +125,7 @@ def main():
             hist.write(json.dumps({"step": i, "eval": ev}) + "\n")
             hist.flush()
     hist.close()
+    prefetch.close()
 
     LearnedTemporalTracker.save_params(
         {"params": state.params}, out_dir / "tracker.msgpack"

@@ -177,3 +177,49 @@ def make_batch(
         "gt_vis": np.stack([c.gt_vis for c in clips]),
         "point_mask": np.stack([c.point_mask for c in clips]),
     }
+
+
+class BatchPrefetcher:
+    """Threaded clip generation overlapping the device step.
+
+    Clip synthesis is pure host work (cv2 warps); one or two worker threads
+    hide it behind the TPU step entirely (0.16 s/batch at 8x256^2 would
+    otherwise serialize with a ~0.1 s device step). Each worker owns an
+    independently seeded Generator so the stream is reproducible given
+    (seed, workers).
+    """
+
+    def __init__(self, seed: int, batch: int, workers: int = 2, depth: int = 4, **kw):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._threads = []
+        for w in range(workers):
+            rng = np.random.default_rng([seed, w])
+
+            def run(rng=rng):
+                while not self._stop.is_set():
+                    b = make_batch(rng, batch, **kw)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(b, timeout=0.5)
+                            break
+                        except Exception:
+                            continue
+
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def next(self) -> dict[str, np.ndarray]:
+        return self._q.get()
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
