@@ -56,14 +56,14 @@ class LoFTRMatcher(nn.Module):
         """Backbone only: [N, H, W, 1] -> (coarse [N,Hc,Wc,Cc], fine)."""
         return self.backbone(images, train=train)
 
-    def __call__(
+    def coarse(
         self,
         image0: jax.Array,  # [B, H, W, 1]
         image1: jax.Array,  # [B, H, W, 1] (same static size)
-        fine_ids: tuple[jax.Array, jax.Array] | None = None,
         train: bool = False,
         dense_conf: bool = False,
     ) -> dict[str, Any]:
+        """Backbone + coarse transformer + dual-softmax match extraction."""
         c = self.cfg
         B, H, W, _ = image0.shape
         Hc, Wc = H // c.backbone.coarse_stride, W // c.backbone.coarse_stride
@@ -106,20 +106,31 @@ class LoFTRMatcher(nn.Module):
                 point_mask=jnp.broadcast_to(border[None], (B, S)),
                 border_mask_cols=border,
             )
-        if fine_ids is not None:
-            i_ids, j_ids = fine_ids
-            valid = jnp.ones(i_ids.shape, dtype=bool)
-            conf_out = jnp.ones(i_ids.shape, dtype=jnp.float32)
-        else:
-            i_ids, j_ids = matches.i_ids, matches.j_ids
-            valid = matches.valid
-            conf_out = matches.conf
-        K = i_ids.shape[1]
+        return {
+            "conf_matrix": conf,
+            "matches": matches,
+            "feat_c0": fc0,
+            "feat_c1": fc1,
+            "feat_f0": ff0,
+            "feat_f1": ff1,
+            "coarse_hw": (Hc, Wc),
+        }
 
-        # 4. fine refinement: center descriptor of window0 vs window1 heatmap
+    def fine(
+        self,
+        feat_f0: jax.Array,            # [B, Hf, Wf, Cf] from coarse()
+        feat_f1: jax.Array,
+        i_ids: jax.Array,              # [B, K] grid-0 cells
+        j_ids: jax.Array,              # [B, K] grid-1 cells
+        coarse_hw: tuple[int, int],
+    ) -> dict[str, Any]:
+        """Fine refinement: center descriptor of window0 vs window1 heatmap."""
+        c = self.cfg
+        B, K = i_ids.shape
+        Hc, Wc = coarse_hw
         Wn = c.fine.window_size
-        win0 = window_ops.gather_windows(ff0, i_ids, (Hc, Wc), Wn)
-        win1 = window_ops.gather_windows(ff1, j_ids, (Hc, Wc), Wn)
+        win0 = window_ops.gather_windows(feat_f0, i_ids, (Hc, Wc), Wn)
+        win1 = window_ops.gather_windows(feat_f1, j_ids, (Hc, Wc), Wn)
         w0 = win0.reshape(B * K, Wn * Wn, -1)
         w1 = win1.reshape(B * K, Wn * Wn, -1)
         w0, w1 = self.loftr_fine(w0, w1)
@@ -136,20 +147,39 @@ class LoFTRMatcher(nn.Module):
         mkpts0_c = match_ops.grid_coords(i_ids, Wc, stride_c)
         mkpts1_c = match_ops.grid_coords(j_ids, Wc, stride_c)
         mkpts1_f = mkpts1_c + coords_normed * (Wn // 2) * stride_f
-
         return {
-            "conf_matrix": conf,
-            "i_ids": i_ids,
-            "j_ids": j_ids,
-            "valid": valid,
-            "mconf": conf_out,
             "mkpts0_c": mkpts0_c,
             "mkpts1_c": mkpts1_c,
             "mkpts1_f": mkpts1_f,
             "expec_f": jnp.concatenate([coords_normed, std[..., None]], axis=-1),
-            "feat_c0": fc0,
-            "feat_c1": fc1,
-            "feat_f0": ff0,
-            "feat_f1": ff1,
-            "coarse_hw": (Hc, Wc),
+        }
+
+    def __call__(
+        self,
+        image0: jax.Array,  # [B, H, W, 1]
+        image1: jax.Array,  # [B, H, W, 1] (same static size)
+        fine_ids: tuple[jax.Array, jax.Array] | None = None,
+        train: bool = False,
+        dense_conf: bool = False,
+    ) -> dict[str, Any]:
+        out = self.coarse(image0, image1, train=train, dense_conf=dense_conf)
+        matches = out.pop("matches")
+        if fine_ids is not None:
+            i_ids, j_ids = fine_ids
+            valid = jnp.ones(i_ids.shape, dtype=bool)
+            conf_out = jnp.ones(i_ids.shape, dtype=jnp.float32)
+        else:
+            i_ids, j_ids = matches.i_ids, matches.j_ids
+            valid = matches.valid
+            conf_out = matches.conf
+        fine_out = self.fine(
+            out["feat_f0"], out["feat_f1"], i_ids, j_ids, out["coarse_hw"]
+        )
+        return {
+            **out,
+            **fine_out,
+            "i_ids": i_ids,
+            "j_ids": j_ids,
+            "valid": valid,
+            "mconf": conf_out,
         }
