@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--scenes", type=int, default=4,
                     help="multi-view scene bank size (0 = homography only)")
     ap.add_argument("--eval_pairs", type=int, default=16)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in --ckpt_dir "
+                         "(full optimizer state; --steps = additional steps)")
     args = ap.parse_args()
 
     from ..utils import enable_compilation_cache
@@ -108,9 +111,20 @@ def main():
             f"{r['steps_per_sec']:.2f} it/s"
         )
 
+    init = None
+    if args.resume:
+        from ..parallel import mesh as mesh_lib
+        from ..train.loop import load_train_state
+        from ..train.step import make_optimizer
+
+        tx = make_optimizer(train_cfg, n_dev, steps_per_epoch=1000)
+        init = load_train_state(args.ckpt_dir, tx)
+        init = mesh_lib.replicate_pytree(init, mesh)
+        print(f"resumed from step {int(init.step)} in {args.ckpt_dir}")
+
     state, _ = loftr_train.fit_loftr(
         cfg, train_cfg, model, batches, n_steps=args.steps, mesh=mesh,
-        ckpt_dir=args.ckpt_dir, log_every=100, log_fn=log_fn,
+        ckpt_dir=args.ckpt_dir, log_every=100, log_fn=log_fn, init=init,
     )
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     stats = loftr_train.match_precision(model, variables, eval_batch)

@@ -32,6 +32,12 @@ def main():
                     help="pose-AP validation cadence (multi-object mode; "
                          "best ckpt by 3cm@3degree like the reference)")
     ap.add_argument("--val_frames", type=int, default=16)
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation micro-steps per update "
+                         "(reference accumulate_grad_batches: 2)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in --ckpt_dir "
+                         "(full optimizer state; --steps = additional steps)")
     args = ap.parse_args()
 
     from ..utils import enable_compilation_cache
@@ -51,7 +57,10 @@ def main():
     # keep the linear LR-scaling recipe consistent with the actual batch
     # (true_lr scales by world * batch_size_per_device / canonical_bs)
     cfg = cfg_lib.replace(
-        cfg, train=cfg_lib.replace(cfg.train, batch_size_per_device=args.batch)
+        cfg, train=cfg_lib.replace(
+            cfg.train, batch_size_per_device=args.batch,
+            accumulate_steps=args.accum,
+        )
     )
     mesh = make_mesh()
     n_dev = len(jax.devices())
@@ -99,10 +108,23 @@ def main():
         else:
             print(f"step {s}: {r}")
 
+    init_state = None
+    if args.resume:
+        import numpy as _np
+
+        from ..parallel import mesh as mesh_lib
+        from ..train import step as step_lib
+
+        world = int(_np.prod(list(mesh.shape.values())))
+        tx = step_lib.make_optimizer(cfg.train, world, steps_per_epoch=1000)
+        init_state = loop_mod.load_train_state(args.ckpt_dir, tx)
+        init_state = mesh_lib.replicate_pytree(init_state, mesh)
+        print(f"resumed from step {int(init_state.step)} in {args.ckpt_dir}")
+
     state, history = loop_mod.fit(
         cfg, model, batches, n_steps=args.steps, mesh=mesh,
         ckpt_dir=args.ckpt_dir, log_every=100, log_fn=log_fn,
-        val_fn=val_fn, val_every=args.val_every,
+        val_fn=val_fn, val_every=args.val_every, init_state=init_state,
     )
     print(f"done; checkpoints in {args.ckpt_dir}")
 

@@ -141,6 +141,10 @@ class TrainConfig:
     # keep the (pretrained) backbone frozen for the first N optimizer steps
     # (reference src/callbacks/custom_callbacks.py unfreeze-after-N-epochs)
     freeze_backbone_steps: int = 0
+    # micro-steps averaged per optimizer update (reference
+    # train.yaml:33 accumulate_grad_batches: 2); LR scaling excludes it,
+    # matching train_onepose_plus.py:36-40 (true bs = world x per-device bs)
+    accumulate_steps: int = 1
 
     def true_lr(self, world_size: int) -> float:
         """world-size LR scaling, reference train_onepose_plus.py:24-39."""

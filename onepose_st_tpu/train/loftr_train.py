@@ -194,12 +194,15 @@ def fit_loftr(
         )
 
     history: list[dict] = []
-    rng = jax.random.key(seed + 1)
+    # fold_in(base, global_step) RNG: resume replays the exact stream
+    base_rng = jax.random.key(seed + 1)
+    start = int(jax.device_get(state.step))
     batch = batch0
     t0 = time.time()
     with mesh:
         for i in range(n_steps):
-            rng, sub = jax.random.split(rng)
+            g = start + i + 1
+            sub = jax.random.fold_in(base_rng, g)
             state, scalars = jitted(
                 state, batch, sub, model=model, tx=tx, cfg=cfg,
                 train_cfg=train_cfg,
@@ -208,15 +211,15 @@ def fit_loftr(
                 batch = mesh_lib.shard_pytree(next(it), mesh)
             if (i + 1) % log_every == 0 or i == 0:
                 rec = {k: float(v) for k, v in scalars.items()}
-                rec["step"] = i + 1
+                rec["step"] = g
                 rec["steps_per_sec"] = (i + 1) / (time.time() - t0)
                 history.append(rec)
                 if log_fn:
-                    log_fn(i + 1, rec)
+                    log_fn(g, rec)
             if ckpt_mgr is not None and (i + 1) % ckpt_every == 0:
-                ckpt_mgr.save(i + 1, args=_ckpt_args(state))
+                ckpt_mgr.save(g, args=_ckpt_args(state))
     if ckpt_mgr is not None:
-        ckpt_mgr.save(n_steps, args=_ckpt_args(state))
+        ckpt_mgr.save(start + n_steps, args=_ckpt_args(state))
         ckpt_mgr.wait_until_finished()
     if ckpt_dir is not None and history:
         import json
@@ -228,9 +231,6 @@ def fit_loftr(
 
 
 def _ckpt_args(state: TrainState):
-    import orbax.checkpoint as ocp
+    from .loop import _ckpt_args as full_ckpt_args
 
-    return ocp.args.Composite(
-        params=ocp.args.PyTreeSave(state.params),
-        batch_stats=ocp.args.PyTreeSave(state.batch_stats),
-    )
+    return full_ckpt_args(state)

@@ -92,7 +92,10 @@ def fit(
 
     history: list[dict] = []
     best = {"step": -1, "metric": -float("inf")}
-    rng = jax.random.key(seed + 1)
+    # per-step RNG is fold_in(base, global_step): a resumed run replays the
+    # exact RNG stream of an uninterrupted one (see load_train_state)
+    base_rng = jax.random.key(seed + 1)
+    start = int(jax.device_get(state.step))
     batch = batch0
     t0 = time.time()
 
@@ -111,7 +114,8 @@ def fit(
 
     with mesh:
         for i in range(n_steps):
-            rng, sub = jax.random.split(rng)
+            g = start + i + 1
+            sub = jax.random.fold_in(base_rng, g)
             state, scalars = jitted(
                 state, batch, sub, model=model, tx=tx, cfg=cfg
             )
@@ -119,19 +123,19 @@ def fit(
                 batch = mesh_lib.shard_pytree(next(it), mesh)
             if (i + 1) % log_every == 0 or i == 0:
                 rec = {k: float(v) for k, v in scalars.items()}
-                rec["step"] = i + 1
+                rec["step"] = g
                 rec["steps_per_sec"] = (i + 1) / (time.time() - t0)
                 history.append(rec)
                 if log_fn:
-                    log_fn(i + 1, rec)
+                    log_fn(g, rec)
             if val_fn is not None and (i + 1) % val_every == 0 and i + 1 < n_steps:
-                run_val(i + 1)
+                run_val(g)
             if ckpt_mgr is not None and (i + 1) % ckpt_every == 0:
                 ckpt_mgr.save(
-                    i + 1, args=_ckpt_args(state)
+                    g, args=_ckpt_args(state)
                 )
     if val_fn is not None:
-        run_val(n_steps)
+        run_val(start + n_steps)
     if ckpt_dir is not None and best["step"] >= 0:
         import json
 
@@ -139,7 +143,7 @@ def fit(
             json.dumps({"metric": select_metric, **best})
         )
     if ckpt_mgr is not None:
-        ckpt_mgr.save(n_steps, args=_ckpt_args(state))
+        ckpt_mgr.save(start + n_steps, args=_ckpt_args(state))
         ckpt_mgr.wait_until_finished()
     if best_mgr is not None:
         best_mgr.wait_until_finished()
@@ -155,11 +159,23 @@ def fit(
 
 
 def _ckpt_args(state):
+    """Full-state checkpoint: params, batch stats, optimizer state, step.
+
+    The optimizer state is saved as its flat leaf list — optax states are
+    nested NamedTuples (incl. field-less EmptyState) that orbax cannot
+    round-trip without a target; the treedef is rebuilt from tx.init at
+    restore (load_train_state). Inference-only loads (load_checkpoint)
+    ignore the extra items.
+    """
     import orbax.checkpoint as ocp
 
     return ocp.args.Composite(
         params=ocp.args.PyTreeSave(state.params),
         batch_stats=ocp.args.PyTreeSave(state.batch_stats),
+        opt_leaves=ocp.args.PyTreeSave(
+            {"leaves": list(jax.tree.leaves(state.opt_state)),
+             "step": state.step}
+        ),
     )
 
 
@@ -177,3 +193,41 @@ def load_checkpoint(ckpt_dir: str | Path, step: int | None = None):
         ),
     )
     return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+
+
+def load_train_state(
+    ckpt_dir: str | Path, tx, step: int | None = None
+) -> step_lib.TrainState:
+    """Restore a full TrainState for resumption (reference: PL
+    resume_from_checkpoint). `tx` must be built with the same recipe as the
+    interrupted run — its init supplies the optax treedef that the saved
+    flat leaves are unflattened into. Training resumed from the returned
+    state replays the identical RNG stream (fit folds the base key with the
+    global step) and continues checkpoint numbering.
+    """
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(Path(ckpt_dir).absolute())
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
+    restored = mgr.restore(
+        step,
+        args=ocp.args.Composite(
+            params=ocp.args.PyTreeRestore(),
+            batch_stats=ocp.args.PyTreeRestore(),
+            opt_leaves=ocp.args.PyTreeRestore(),
+        ),
+    )
+    params = restored["params"]
+    treedef = jax.tree.structure(tx.init(params))
+    opt_state = jax.tree.unflatten(
+        treedef, restored["opt_leaves"]["leaves"]
+    )
+    return step_lib.TrainState(
+        params=params,
+        batch_stats=restored["batch_stats"],
+        opt_state=opt_state,
+        step=jnp.asarray(restored["opt_leaves"]["step"], jnp.int32),
+    )

@@ -39,16 +39,27 @@ class Batch(NamedTuple):
 
 
 def make_optimizer(cfg: TrainConfig, world_size: int, steps_per_epoch: int):
-    """AdamW + MultiStepLR(gamma @ milestones) + global-norm clip."""
+    """AdamW + MultiStepLR(gamma @ milestones) + global-norm clip.
+
+    With accumulate_steps > 1, gradients of k consecutive micro-steps are
+    averaged into one optimizer update (optax.MultiSteps — the reference's
+    accumulate_grad_batches, train.yaml:33); `steps_per_epoch` stays in
+    micro-steps, so LR milestones land on the same data boundaries.
+    """
     lr = cfg.true_lr(world_size)
+    k = max(cfg.accumulate_steps, 1)
     boundaries = {
-        int(m * steps_per_epoch): cfg.lr_gamma for m in cfg.lr_milestones
+        max(int(m * steps_per_epoch) // k, 1): cfg.lr_gamma
+        for m in cfg.lr_milestones
     }
     schedule = optax.piecewise_constant_schedule(lr, boundaries)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(schedule, weight_decay=cfg.weight_decay),
     )
+    if k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
+    return tx
 
 
 def init_state(

@@ -179,6 +179,92 @@ def test_freeze_backbone_schedule(rng):
     assert any(jax.tree.leaves(unfrozen)), "backbone never unfroze"
 
 
+def test_gradient_accumulation(rng):
+    """accumulate_steps=k updates params only every k micro-steps, and k
+    identical micro-batches produce exactly one plain optimizer step
+    (reference train.yaml:33 accumulate_grad_batches: 2)."""
+    cfg = tiny_engine_cfg()
+    cfg_acc = cfg_lib.replace(
+        cfg, train=cfg_lib.replace(cfg.train, accumulate_steps=2)
+    )
+    model = OnePoseMatcher(cfg.matcher)
+    b1 = jax.tree.map(jnp.asarray, make_batch(rng, cfg, B=2))
+
+    tx = step.make_optimizer(cfg_acc.train, world_size=1, steps_per_epoch=100)
+    state = step.init_state(jax.random.key(0), model, tx, b1)
+    p0 = jax.tree.map(np.asarray, state.params)
+    jitted = jax.jit(step.train_step, static_argnames=("model", "tx", "cfg"))
+
+    # micro-step 1: gradients buffered, params unchanged
+    state, _ = jitted(state, b1, jax.random.key(9), model=model, tx=tx,
+                      cfg=cfg_acc)
+    unchanged = jax.tree.map(
+        lambda a, b: np.array_equal(a, np.asarray(b)), p0, state.params
+    )
+    assert all(jax.tree.leaves(unchanged)), "params moved mid-accumulation"
+    # micro-step 2: the averaged update is applied
+    state, _ = jitted(state, b1, jax.random.key(9), model=model, tx=tx,
+                      cfg=cfg_acc)
+    moved = jax.tree.map(
+        lambda a, b: not np.array_equal(a, np.asarray(b)), p0, state.params
+    )
+    assert any(jax.tree.leaves(moved)), "accumulated update never applied"
+
+    # average of two identical gradients == the gradient: the accumulated
+    # update must equal one plain (accum=1) step on the same batch
+    tx1 = step.make_optimizer(cfg.train, world_size=1, steps_per_epoch=100)
+    state1 = step.init_state(jax.random.key(0), model, tx1, b1)
+    state1, _ = jitted(state1, b1, jax.random.key(9), model=model,
+                       tx=tx1, cfg=cfg)
+    close = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b), atol=1e-6),
+        state.params, state1.params,
+    )
+    assert all(jax.tree.leaves(close)), "k-step accum != one plain step"
+
+
+def test_resume_is_bit_exact(tmp_path, rng):
+    """Full-state checkpoint resume: killing a run at step 2 and resuming
+    reproduces the uninterrupted run exactly — optimizer moments, step
+    counter, and the fold_in RNG stream all survive (reference: PL
+    resume_from_checkpoint)."""
+    from onepose_st_tpu.train import loop as loop_mod
+
+    cfg = tiny_engine_cfg()
+    model = OnePoseMatcher(cfg.matcher)
+    batches = [make_batch(rng, cfg, B=2) for _ in range(4)]
+
+    d_full = tmp_path / "full"
+    state_full, _ = loop_mod.fit(
+        cfg, model, iter(batches), n_steps=4,
+        ckpt_dir=d_full, ckpt_every=2, log_every=10,
+    )
+
+    d_cut = tmp_path / "cut"
+    loop_mod.fit(
+        cfg, model, iter(batches[:2]), n_steps=2,
+        ckpt_dir=d_cut, ckpt_every=2, log_every=10,
+    )
+    tx = step.make_optimizer(cfg.train, world_size=1, steps_per_epoch=1000)
+    resumed = loop_mod.load_train_state(d_cut, tx)
+    assert int(resumed.step) == 2
+    state_res, _ = loop_mod.fit(
+        cfg, model, iter(batches[2:]), n_steps=2,
+        ckpt_dir=d_cut, ckpt_every=2, log_every=10, init_state=resumed,
+    )
+    same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        state_full.params, state_res.params,
+    )
+    assert all(jax.tree.leaves(same)), "resumed run diverged from full run"
+    mom = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        jax.tree.leaves(state_full.opt_state),
+        jax.tree.leaves(state_res.opt_state),
+    )
+    assert all(jax.tree.leaves(mom)), "optimizer state diverged"
+
+
 def test_fit_with_validation_hook(tmp_path, rng):
     """val_fn runs on schedule, logs val/ metrics, tracks best checkpoint."""
     import jax
