@@ -83,6 +83,22 @@ def main():
                     help="override the coarse confidence threshold at eval "
                          "(mutual-NN + RANSAC tolerate low-conf matches; "
                          "small models under-shoot the flagship's 0.1)")
+    ap.add_argument("--loftr_ckpt", default=None,
+                    help="trained 2D-2D matcher checkpoint "
+                         "(cli/train_loftr.py output). When given, pair "
+                         "matches come from the LoFTR matcher over "
+                         "pose-covisibility pairs — the reference's full "
+                         "detector-free front-end (coarse_match.py) — "
+                         "instead of ground-truth correspondences.")
+    ap.add_argument("--loftr_preset", default="small",
+                    choices=["tiny", "small", "full"],
+                    help="LoFTRConfig the --loftr_ckpt was trained with")
+    ap.add_argument("--loftr_conf_thr", type=float, default=None,
+                    help="override the 2D-2D coarse confidence threshold")
+    ap.add_argument("--covis_num", type=int, default=10,
+                    help="pose-covisibility pairs per image (sfm_demo.yaml)")
+    ap.add_argument("--min_rotation", type=float, default=10.0,
+                    help="min relative rotation (deg) for a covis pair")
     args = ap.parse_args()
 
     import jax
@@ -136,24 +152,59 @@ def main():
 
     sample_desc = sfm_pipeline.make_descriptor_sampler(model, variables, frames)
 
-    pms = []
-    train_pairs = [
-        (int(train_ids[a]), int(train_ids[b]))
-        for a in range(len(train_ids))
-        for b in range(a + 1, len(train_ids))
-    ]
-    for i, j in train_pairs:
-        vis = scene.visible[i] & scene.visible[j]
-        ids = np.nonzero(vis)[0]
-        if len(ids) < 8:
-            continue
-        noise = rng.normal(size=(len(ids), 2)) * 0.3
-        pms.append(tracks_mod.PairMatches(
-            i, j,
-            scene.uv[i, ids].astype(np.float32),
-            (scene.uv[j, ids] + noise).astype(np.float32),
-            np.ones(len(ids), np.float32),
-        ))
+    if args.loftr_ckpt is not None:
+        # full detector-free front-end: trained 2D-2D matcher over
+        # pose-covisibility pairs (reference sfm_core run.py:144 ->
+        # pairs_from_poses + detector_free_coarse_matching)
+        from onepose_st_tpu.cli.train_loftr import build_loftr_cfg
+        from onepose_st_tpu.models.loftr import LoFTRMatcher
+        from onepose_st_tpu.sfm import pairs as pairs_mod
+        from onepose_st_tpu.train.loop import load_checkpoint
+
+        lcfg = cfg_lib.load_model_config(args.loftr_ckpt)
+        if lcfg is not None:
+            lcfg = cfg_lib.adapt_dtypes(lcfg)
+        else:
+            lcfg = build_loftr_cfg(args.loftr_preset)
+        if args.loftr_conf_thr is not None:
+            lcfg = cfg_lib.replace(lcfg, coarse_matching=cfg_lib.replace(
+                lcfg.coarse_matching, threshold=args.loftr_conf_thr))
+        loftr = LoFTRMatcher(lcfg)
+        lvars = load_checkpoint(args.loftr_ckpt)
+        Rs, ts = pairs_mod.poses_to_Rt(scene.poses[train_ids])
+        local_pairs = pairs_mod.pairs_from_poses(
+            Rs, ts, covis_num=args.covis_num,
+            min_rotation_deg=args.min_rotation,
+        )
+        train_pairs_arr = train_ids[local_pairs].astype(np.int32)
+        t0 = time.time()
+        pms = sfm_pipeline.match_pairs_loftr(
+            loftr, lvars, frames, train_pairs_arr, batch_size=args.batch,
+        )
+        n_m = sum(len(pm.uv_i) for pm in pms)
+        print(
+            f"LoFTR-matched {len(train_pairs_arr)} covis pairs in "
+            f"{time.time()-t0:.1f}s ({n_m} raw matches)"
+        )
+    else:
+        pms = []
+        train_pairs = [
+            (int(train_ids[a]), int(train_ids[b]))
+            for a in range(len(train_ids))
+            for b in range(a + 1, len(train_ids))
+        ]
+        for i, j in train_pairs:
+            vis = scene.visible[i] & scene.visible[j]
+            ids = np.nonzero(vis)[0]
+            if len(ids) < 8:
+                continue
+            noise = rng.normal(size=(len(ids), 2)) * 0.3
+            pms.append(tracks_mod.PairMatches(
+                i, j,
+                scene.uv[i, ids].astype(np.float32),
+                (scene.uv[j, ids] + noise).astype(np.float32),
+                np.ones(len(ids), np.float32),
+            ))
     corners = np.asarray(camera.box3d_corners(jnp.asarray([0.3, 0.3, 0.3])))
     sfm_map, diag = sfm_pipeline.build_map_from_matches(
         pms, scene.poses, scene.Ks, cfg, box_corners=corners,

@@ -62,6 +62,17 @@ def main():
     from ..utils import viz
 
     cfg = cfg_lib.adapt_dtypes(cfg_lib.EngineConfig())
+    # rebuild each model exactly as its checkpoint was trained
+    # (model_config.json written by the train CLIs next to the ckpt)
+    if args.matcher_ckpt:
+        saved = cfg_lib.load_model_config(args.matcher_ckpt)
+        if saved is not None:
+            m = saved.matcher if isinstance(saved, cfg_lib.EngineConfig) else saved
+            cfg = cfg_lib.replace(cfg, matcher=cfg_lib.adapt_dtypes(m))
+    if args.loftr_ckpt:
+        saved = cfg_lib.load_model_config(args.loftr_ckpt)
+        if saved is not None:
+            cfg = cfg_lib.replace(cfg, loftr=cfg_lib.adapt_dtypes(saved))
     sfm_map = SfMMap.load(args.map)
     # layout auto-detect: ARKit test sequences carry poses/ + intrin/ (crop
     # K); LINEMOD sequences only poses_ba/ + intrin_ba/ (also the crop K)

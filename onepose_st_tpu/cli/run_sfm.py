@@ -107,6 +107,13 @@ def _build_object(data_dir: Path, out_path: Path, cfg, args, cache_path=None):
     corners = seqs[0].box_corners
     print(f"{len(images)} frames from {len(seqs)} sequences")
 
+    from .. import config as cfg_lib
+
+    if args.loftr_ckpt:
+        # rebuild the matcher exactly as its checkpoint was trained
+        saved = cfg_lib.load_model_config(args.loftr_ckpt)
+        if saved is not None:
+            cfg = cfg_lib.replace(cfg, loftr=cfg_lib.adapt_dtypes(saved))
     model = LoFTRMatcher(cfg.loftr)
     if args.loftr_ckpt:
         variables = load_checkpoint(args.loftr_ckpt)

@@ -80,6 +80,7 @@ def main():
     from ..train import loftr_data, loftr_train
 
     cfg = build_loftr_cfg(args.preset)
+    cfg_lib.save_model_config(args.ckpt_dir, cfg)
     train_cfg = cfg_lib.replace(
         cfg_lib.TrainConfig(), batch_size_per_device=args.batch
     )

@@ -62,6 +62,7 @@ def main():
             accumulate_steps=args.accum,
         )
     )
+    cfg_lib.save_model_config(args.ckpt_dir, cfg)
     mesh = make_mesh()
     n_dev = len(jax.devices())
     rng = np.random.default_rng(args.seed)

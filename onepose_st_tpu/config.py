@@ -232,6 +232,73 @@ def replace(cfg, **kwargs):
     return dataclasses.replace(cfg, **kwargs)
 
 
+def to_dict(cfg) -> dict:
+    """Config tree -> plain JSON-serializable dict (tuples become lists)."""
+    return dataclasses.asdict(cfg)
+
+
+def from_dict(cls, d: dict):
+    """Rebuild a config dataclass from to_dict output.
+
+    Unknown keys are ignored (forward compatibility); missing keys keep
+    the class defaults; lists are coerced back to tuples where the default
+    is a tuple. Used to rehydrate the model_config.json written next to
+    training checkpoints, so inference/SfM CLIs reconstruct the exact
+    architecture a checkpoint was trained with.
+    """
+    base = cls()
+    updates = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        cur = getattr(base, f.name)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            v = from_dict(type(cur), v)
+        elif isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+            v = tuple(v)
+        updates[f.name] = v
+    return dataclasses.replace(base, **updates)
+
+
+def save_model_config(ckpt_dir, cfg) -> None:
+    """Write <ckpt_dir>/model_config.json describing a checkpoint's model."""
+    import json
+    from pathlib import Path
+
+    p = Path(ckpt_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    (p / "model_config.json").write_text(
+        json.dumps({"kind": type(cfg).__name__, "config": to_dict(cfg)},
+                   indent=1)
+    )
+
+
+def load_model_config(ckpt_dir):
+    """Load the config saved by save_model_config, or None if absent.
+
+    Returns the rehydrated dataclass (dtype fields re-adapted to the active
+    backend by the caller via adapt_dtypes if desired).
+    """
+    import json
+    from pathlib import Path
+
+    p = Path(ckpt_dir) / "model_config.json"
+    if not p.exists():
+        return None
+    blob = json.loads(p.read_text())
+    kinds = {
+        "LoFTRConfig": LoFTRConfig,
+        "MatcherConfig": MatcherConfig,
+        "EngineConfig": EngineConfig,
+        "TrackerConfig": TrackerConfig,
+    }
+    cls = kinds.get(blob.get("kind"))
+    if cls is None:
+        raise ValueError(f"unknown config kind in {p}: {blob.get('kind')}")
+    return from_dict(cls, blob["config"])
+
+
 def _map_dtype_fields(cfg, new_dtype: str):
     if not dataclasses.is_dataclass(cfg):
         return cfg

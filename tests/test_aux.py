@@ -161,6 +161,30 @@ def test_adapt_dtypes():
     assert cfg_lib.adapt_dtypes(tpu, backend="tpu") == tpu
 
 
+def test_model_config_roundtrip(tmp_path):
+    """save_model_config/load_model_config rebuild the exact config tree
+    (JSON turns tuples into lists; from_dict must coerce them back)."""
+    from onepose_st_tpu import config as cfg_lib
+
+    cfg = cfg_lib.LoFTRConfig(
+        backbone=cfg_lib.BackboneConfig(initial_dim=32, block_dims=(32, 48, 64)),
+        coarse=cfg_lib.TransformerConfig(d_model=64, nhead=4, layer_iter_n=2),
+    )
+    cfg_lib.save_model_config(tmp_path, cfg)
+    loaded = cfg_lib.load_model_config(tmp_path)
+    assert loaded == cfg
+    assert isinstance(loaded.backbone.block_dims, tuple)
+    # engine config too (nested one level deeper)
+    eng = cfg_lib.replace(
+        cfg_lib.EngineConfig(),
+        train=cfg_lib.replace(cfg_lib.TrainConfig(), accumulate_steps=2),
+    )
+    cfg_lib.save_model_config(tmp_path, eng)
+    assert cfg_lib.load_model_config(tmp_path) == eng
+    # absent file -> None
+    assert cfg_lib.load_model_config(tmp_path / "nope") is None
+
+
 def test_colmap_text_model_roundtrip(tmp_path, rng):
     """Text-format model write/read matches binary exactly (repr floats)."""
     cams = {
