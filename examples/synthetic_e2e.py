@@ -163,8 +163,24 @@ def main():
 
         lcfg = cfg_lib.load_model_config(args.loftr_ckpt)
         if lcfg is not None:
+            if not isinstance(lcfg, cfg_lib.LoFTRConfig):
+                raise SystemExit(
+                    f"{args.loftr_ckpt}/model_config.json holds a "
+                    f"{type(lcfg).__name__}, not a LoFTRConfig"
+                )
+            if args.loftr_preset != ap.get_default("loftr_preset"):
+                print(
+                    f"NOTE: --loftr_preset {args.loftr_preset} ignored; using "
+                    f"the saved config in {args.loftr_ckpt}/model_config.json"
+                )
+            else:
+                print(f"LoFTR config source: {args.loftr_ckpt}/model_config.json")
             lcfg = cfg_lib.adapt_dtypes(lcfg)
         else:
+            print(
+                f"LoFTR config source: --loftr_preset {args.loftr_preset} "
+                f"(no model_config.json in {args.loftr_ckpt})"
+            )
             lcfg = build_loftr_cfg(args.loftr_preset)
         if args.loftr_conf_thr is not None:
             lcfg = cfg_lib.replace(lcfg, coarse_matching=cfg_lib.replace(
@@ -321,9 +337,20 @@ def main():
             assert args.tracker_ckpt, "--refine learned needs --tracker_ckpt"
             import train_tracker as tt  # sibling example: preset configs
 
-            tracker = LearnedTemporalTracker.load(
-                tt.build_cfg(args.tracker_preset), args.tracker_ckpt
+            tdir = Path(args.tracker_ckpt)
+            tcfg = cfg_lib.load_model_config(
+                tdir.parent if tdir.is_file() else tdir
             )
+            if tcfg is not None:
+                if not isinstance(tcfg, cfg_lib.TrackerConfig):
+                    raise SystemExit(
+                        f"model_config.json next to {args.tracker_ckpt} holds "
+                        f"a {type(tcfg).__name__}, not a TrackerConfig"
+                    )
+                tcfg = cfg_lib.adapt_dtypes(tcfg)
+            else:
+                tcfg = tt.build_cfg(args.tracker_preset)
+            tracker = LearnedTemporalTracker.load(tcfg, args.tracker_ckpt)
             window = tracker.cfg.window
         else:
             tracker = TemporalTracker(model, trained)

@@ -106,6 +106,9 @@ def main():
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
+    from onepose_st_tpu import config as cfg_lib
+
+    cfg_lib.save_model_config(out_dir, cfg)  # consumers rebuild exactly this
     hist = open(out_dir / "history.jsonl", "w")
     prefetch = tracker_data.BatchPrefetcher(args.seed + 1, args.batch, **kw)
     t0 = time.time()

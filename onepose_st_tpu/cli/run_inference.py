@@ -72,7 +72,24 @@ def main():
     if args.loftr_ckpt:
         saved = cfg_lib.load_model_config(args.loftr_ckpt)
         if saved is not None:
+            if not isinstance(saved, cfg_lib.LoFTRConfig):
+                raise SystemExit(
+                    f"{args.loftr_ckpt}/model_config.json holds a "
+                    f"{type(saved).__name__}, not a LoFTRConfig — is "
+                    f"--loftr_ckpt pointing at a 2D-3D matcher checkpoint?"
+                )
             cfg = cfg_lib.replace(cfg, loftr=cfg_lib.adapt_dtypes(saved))
+    if args.tracker_ckpt:
+        saved = cfg_lib.load_model_config(Path(args.tracker_ckpt).parent
+                                          if Path(args.tracker_ckpt).is_file()
+                                          else args.tracker_ckpt)
+        if saved is not None:
+            if not isinstance(saved, cfg_lib.TrackerConfig):
+                raise SystemExit(
+                    f"model_config.json next to {args.tracker_ckpt} holds a "
+                    f"{type(saved).__name__}, not a TrackerConfig"
+                )
+            cfg = cfg_lib.replace(cfg, tracker=cfg_lib.adapt_dtypes(saved))
     sfm_map = SfMMap.load(args.map)
     # layout auto-detect: ARKit test sequences carry poses/ + intrin/ (crop
     # K); LINEMOD sequences only poses_ba/ + intrin_ba/ (also the crop K)

@@ -113,6 +113,12 @@ def _build_object(data_dir: Path, out_path: Path, cfg, args, cache_path=None):
         # rebuild the matcher exactly as its checkpoint was trained
         saved = cfg_lib.load_model_config(args.loftr_ckpt)
         if saved is not None:
+            if not isinstance(saved, cfg_lib.LoFTRConfig):
+                raise SystemExit(
+                    f"{args.loftr_ckpt}/model_config.json holds a "
+                    f"{type(saved).__name__}, not a LoFTRConfig — is "
+                    f"--loftr_ckpt pointing at a 2D-3D matcher checkpoint?"
+                )
             cfg = cfg_lib.replace(cfg, loftr=cfg_lib.adapt_dtypes(saved))
     model = LoFTRMatcher(cfg.loftr)
     if args.loftr_ckpt:

@@ -79,8 +79,22 @@ def main():
     from ..parallel import make_mesh
     from ..train import loftr_data, loftr_train
 
-    cfg = build_loftr_cfg(args.preset)
-    cfg_lib.save_model_config(args.ckpt_dir, cfg)
+    # On --resume an existing model_config.json is authoritative: the ckpt's
+    # params were shaped by it, and rebuilding from --preset (default 'full')
+    # would silently overwrite the correct metadata before the shape-mismatch
+    # crash (advisor finding r1).
+    saved = cfg_lib.load_model_config(args.ckpt_dir)
+    if args.resume and saved is not None:
+        if not isinstance(saved, cfg_lib.LoFTRConfig):
+            raise SystemExit(
+                f"{args.ckpt_dir}/model_config.json holds a "
+                f"{type(saved).__name__}, not a LoFTRConfig — wrong ckpt dir?"
+            )
+        cfg = cfg_lib.adapt_dtypes(saved)
+        print(f"config source: {args.ckpt_dir}/model_config.json (resume)")
+    else:
+        cfg = build_loftr_cfg(args.preset)
+        cfg_lib.save_model_config(args.ckpt_dir, cfg)
     train_cfg = cfg_lib.replace(
         cfg_lib.TrainConfig(), batch_size_per_device=args.batch
     )

@@ -187,13 +187,18 @@ def render_splats(
 
 
 def render_sequence(
-    scene: Scene, rng: np.random.Generator, sigma_px: float = 2.5
+    scene: Scene,
+    rng: np.random.Generator,
+    sigma_px: float = 2.5,
+    background: float = 0.15,
 ) -> np.ndarray:
     """Render every frame; per-point amplitudes fixed across views."""
     amps = rng.uniform(0.3, 1.0, size=len(scene.points)).astype(np.float32)
     return np.stack(
         [
-            render_splats(scene, f, amps, sigma_px=sigma_px)
+            render_splats(
+                scene, f, amps, sigma_px=sigma_px, background=background
+            )
             for f in range(len(scene.poses))
         ]
     )

@@ -193,6 +193,10 @@ class LearnedTemporalTracker:
             jax.random.key(0),
         )
         template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template)
+        from pathlib import Path as _Path
+
+        if _Path(path).is_dir():  # train_tracker.py output dir
+            path = _Path(path) / "tracker.msgpack"
         with open(path, "rb") as f:
             variables = ser.from_bytes(template, f.read())
         return LearnedTemporalTracker(tracker_cfg, variables, **kw)
@@ -368,8 +372,9 @@ def refine_sequence(
     # own-inlier capacity = the PnP match capacity (never truncates)
     K_own = cfg.matcher.coarse_matching.max_matches
     if learned:
-        frames_f = np.asarray(frames, np.float32)
-        if frames_f.max() > 1.5:  # uint8-range input
+        frames_arr = np.asarray(frames)
+        frames_f = frames_arr.astype(np.float32)
+        if np.issubdtype(frames_arr.dtype, np.integer):  # uint8-range input
             frames_f = frames_f / 255.0
         job = jax.jit(partial(
             _window_track_pnp_learned,

@@ -73,7 +73,9 @@ def train_step(
             cm.train_pad_num_gt_min,
             cm.max_matches - int(cm.max_matches * cm.train_coarse_percent),
         )
-        n_gt_pad = min(n_gt_pad, cm.max_matches)
+        # never more GT slots than match slots or coarse rows (S0 = coarse
+        # cells of image0 caps the available GT pool at small image sizes)
+        n_gt_pad = min(n_gt_pad, cm.max_matches, int(batch.gt_j.shape[1]))
         i_ids, j_ids, _ = supervision.select_train_slots(
             rng, m.i_ids, m.j_ids, m.valid, sup, n_gt_pad=n_gt_pad
         )

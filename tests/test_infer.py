@@ -9,6 +9,7 @@ from onepose_st_tpu.infer.tracker import TemporalTracker
 from onepose_st_tpu.models import LoFTRMatcher, OnePoseMatcher
 
 from test_models import small_loftr_cfg, small_matcher_cfg
+import pytest
 
 
 def _texture(rng, H=64, W=64):
@@ -41,6 +42,7 @@ def make_detector(rng, n_views=2):
     return ObjectDetector(model, variables, db, crop_hw=(64, 64)), imgs
 
 
+@pytest.mark.slow
 def test_detector_self_query(rng):
     """Querying with a DB view itself: affine ~ identity, box ~ DB box."""
     det, imgs = make_detector(rng)

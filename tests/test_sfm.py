@@ -5,6 +5,7 @@ from onepose_st_tpu.config import EngineConfig
 from onepose_st_tpu.core import camera
 from onepose_st_tpu.data import synthetic
 from onepose_st_tpu.sfm import pairs, pipeline, tracks, triangulation, twoview
+import pytest
 
 
 # ---------------- pairs ----------------
@@ -149,6 +150,7 @@ def test_triangulate_tracks_exact(rng):
 # ---------------- end-to-end geometry spine ----------------
 
 
+@pytest.mark.slow
 def test_build_map_from_matches_e2e(rng):
     """Synthetic scene -> noisy matches + outliers -> map ~ GT points."""
     scene = synthetic.make_scene(rng, n_points=300, n_frames=10)
@@ -228,6 +230,7 @@ def test_pair_match_cache_roundtrip(tmp_path, rng):
     assert pipeline.load_pair_matches(tmp_path / "empty.npz") == []
 
 
+@pytest.mark.slow
 def test_match_pairs_sharded_equals_single(rng):
     """Mesh-sharded pair matching returns the same matches as unsharded."""
     import jax
@@ -274,6 +277,7 @@ def test_match_pairs_sharded_equals_single(rng):
         np.testing.assert_allclose(a.score, b.score, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_refine_track_observations_mechanics(rng):
     """Fine-only refinement stays inside the window around the coarse cell
     and preserves the assigned-track structure."""
@@ -334,6 +338,7 @@ def test_refine_track_observations_mechanics(rng):
             assert np.all(np.abs(out.kpt1[t, m] - cell) <= stride + r + 1e-3)
 
 
+@pytest.mark.slow
 def test_build_map_with_global_ba(rng):
     """Global BA recovers perturbed scan poses inside the map pipeline."""
     from onepose_st_tpu import config as cfg_lib

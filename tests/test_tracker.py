@@ -47,6 +47,7 @@ def test_occluder_hides_points(rng):
     assert clip.gt_vis[clip.query_frame, idx].all()
 
 
+@pytest.mark.slow
 def test_forward_contract(rng):
     cfg = tiny_cfg()
     model = CoTrackerNet(cfg)
@@ -72,6 +73,7 @@ def test_forward_contract(rng):
             )
 
 
+@pytest.mark.slow
 def test_train_step_learns(rng):
     cfg = tiny_cfg()
     model = CoTrackerNet(cfg)

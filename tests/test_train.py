@@ -5,6 +5,7 @@ import numpy as np
 from onepose_st_tpu import config as cfg_lib
 from onepose_st_tpu.models import OnePoseMatcher
 from onepose_st_tpu.train import losses, step, supervision
+import pytest
 
 
 def tiny_engine_cfg():
@@ -114,6 +115,7 @@ def test_fine_loss_zero_offset():
     assert float(losses.fine_l2_std_loss(expec, gt_off, valid, cfg)) > 0.1
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_descends(rng):
     cfg = tiny_engine_cfg()
     model = OnePoseMatcher(cfg.matcher)
@@ -137,6 +139,7 @@ def test_train_step_runs_and_descends(rng):
     assert losses_seen[-1] < losses_seen[0]
 
 
+@pytest.mark.slow
 def test_freeze_backbone_schedule(rng):
     """Backbone params must stay fixed for the first N steps, then move
     (reference src/callbacks/custom_callbacks.py unfreeze-after-N-epochs)."""
@@ -179,6 +182,7 @@ def test_freeze_backbone_schedule(rng):
     assert any(jax.tree.leaves(unfrozen)), "backbone never unfroze"
 
 
+@pytest.mark.slow
 def test_gradient_accumulation(rng):
     """accumulate_steps=k updates params only every k micro-steps, and k
     identical micro-batches produce exactly one plain optimizer step
@@ -223,6 +227,7 @@ def test_gradient_accumulation(rng):
     assert all(jax.tree.leaves(close)), "k-step accum != one plain step"
 
 
+@pytest.mark.slow
 def test_resume_is_bit_exact(tmp_path, rng):
     """Full-state checkpoint resume: killing a run at step 2 and resuming
     reproduces the uninterrupted run exactly — optimizer moments, step
@@ -265,6 +270,7 @@ def test_resume_is_bit_exact(tmp_path, rng):
     assert all(jax.tree.leaves(mom)), "optimizer state diverged"
 
 
+@pytest.mark.slow
 def test_fit_with_validation_hook(tmp_path, rng):
     """val_fn runs on schedule, logs val/ metrics, tracks best checkpoint."""
     import jax
