@@ -161,6 +161,14 @@ class PnPConfig:
     sample_size: int = 6          # DLT minimal set (2 eqs/point, 11 dof)
     refine_iters: int = 10        # Gauss-Newton polish on inliers
     min_inliers: int = 20         # re-detect threshold (inference.py:150)
+    solver: str = "p3p"           # "dlt" | "p3p" | "mixed" hypothesis solver:
+                                  # P3P 3-point samples survive much higher
+                                  # outlier rates (pycolmap robustness bar,
+                                  # metric_utils.py:155-165); DLT-6 is the
+                                  # most accurate at low contamination
+    lo_rounds: int = 2            # LO-RANSAC: re-solve from the best inlier
+    lo_hypotheses: int = 64       # set with larger non-minimal samples
+    lo_sample_size: int = 16
 
 
 @dataclass(frozen=True)

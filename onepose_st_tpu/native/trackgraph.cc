@@ -11,10 +11,14 @@
 //
 // Exposed via a C ABI consumed with ctypes (no pybind11 in this image).
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -56,6 +60,18 @@ void merge_keypoints(Graph& g, int n_pairs, const int32_t* pair_imgs,
   std::vector<std::unordered_map<int64_t, int32_t>> keys(n);
   std::vector<std::vector<double>> acc_uv(n);  // [img][2*n] score-weighted sum
   std::vector<std::vector<double>> acc_w(n);
+  // pre-size the hash tables (rehash churn dominates otherwise)
+  {
+    std::vector<int64_t> per_img(n, 0);
+    for (int p = 0; p < n_pairs; ++p) {
+      int64_t cnt = pair_offsets[p + 1] - pair_offsets[p];
+      per_img[pair_imgs[2 * p]] += cnt;
+      per_img[pair_imgs[2 * p + 1]] += cnt;
+    }
+    for (int img = 0; img < n; ++img)
+      keys[img].reserve(static_cast<size_t>(per_img[img] / 2 + 16));
+  }
+  g.match_rows.reserve(4 * static_cast<size_t>(pair_offsets[n_pairs]));
 
   auto intern = [&](int img, double u, double v, double s) -> int32_t {
     auto& table = keys[img];
@@ -129,69 +145,72 @@ void build_and_assign(Graph& g, int min_track_length, int max_track_length) {
     return root;
   };
 
-  // per-root observations: image -> global kpt id (lazy, root-owned)
-  std::unordered_map<int64_t, std::unordered_map<int32_t, int64_t>> obs;
-  auto get_obs = [&](int64_t root) -> std::unordered_map<int32_t, int64_t>& {
-    auto it = obs.find(root);
-    if (it == obs.end())
-      it = obs.emplace(root, std::unordered_map<int32_t, int64_t>{
-                                 {img_of[root], root}})
-               .first;
-    return it->second;
+  // Per-root observations as SMALL SORTED VECTORS of (img, global kpt id),
+  // sorted by img (== sorted by gid, since gid ranges are per-image blocks).
+  // A component holds at most one keypoint per image (the conflict rule), so
+  // |obs| <= n_images; sorted-vector two-pointer scans beat the previous
+  // per-root unordered_maps (720k heap-allocated hash tables at 15k-track
+  // scale — the r1 scale-profile hotspot, 8.3 s -> see OPST_TRACE).
+  using Obs = std::vector<std::pair<int32_t, int64_t>>;
+  std::vector<Obs> obs(total);
+  auto get_obs = [&](int64_t root) -> Obs& {
+    Obs& o = obs[root];
+    if (o.empty()) o.emplace_back(img_of[root], root);
+    return o;
   };
 
   size_t n_matches = g.match_rows.size() / 4;
+  Obs merged_tmp;
   for (size_t m = 0; m < n_matches; ++m) {
     const int32_t* row = &g.match_rows[4 * m];
     int64_t a = find(offsets[row[0]] + row[1]);
     int64_t b = find(offsets[row[2]] + row[3]);
     if (a == b) continue;
-    auto* oa = &get_obs(a);
-    auto* ob = &get_obs(b);
+    Obs* oa = &get_obs(a);
+    Obs* ob = &get_obs(b);
     if (oa->size() < ob->size()) {
       std::swap(a, b);
       std::swap(oa, ob);
     }
+    // conflict = same image present on both sides (gids always differ across
+    // components); sorted two-pointer intersection test
     bool conflict = false;
-    for (const auto& [img, gid] : *ob) {
-      auto it = oa->find(img);
-      if (it != oa->end() && it->second != gid) {
-        conflict = true;
-        break;
+    {
+      auto ia = oa->begin(), ea = oa->end();
+      auto ib = ob->begin(), eb = ob->end();
+      while (ia != ea && ib != eb) {
+        if (ia->first < ib->first) ++ia;
+        else if (ib->first < ia->first) ++ib;
+        else { conflict = true; break; }
       }
     }
     if (conflict) continue;  // COLMAP's track-conflict rule: drop the edge
     parent[b] = a;
-    for (const auto& kv : *ob) oa->emplace(kv);
-    obs.erase(b);
+    merged_tmp.clear();
+    merged_tmp.reserve(oa->size() + ob->size());
+    std::merge(oa->begin(), oa->end(), ob->begin(), ob->end(),
+               std::back_inserter(merged_tmp));
+    oa->swap(merged_tmp);
+    Obs().swap(*ob);  // free b's storage
   }
 
-  // collect components in first-seen order of the global keypoint index,
-  // keeping the first-seen keypoint per image (Python-dict-order parity)
-  std::unordered_map<int64_t, int32_t> root_to_comp;
-  std::vector<std::vector<int64_t>> comp_members;  // global kpt ids, in order
-  std::vector<std::unordered_map<int32_t, int64_t>> comp_first;  // img -> gid
+  // collect components in first-seen order of the global keypoint index;
+  // a root's obs vector IS its member list (one keypoint per image)
+  std::vector<std::vector<int64_t>> track_members;  // sorted global ids
+  std::vector<uint8_t> emitted(total, 0);
   for (int64_t x = 0; x < total; ++x) {
     int64_t r = find(x);
-    auto it = root_to_comp.find(r);
-    int32_t c;
-    if (it == root_to_comp.end()) {
-      c = static_cast<int32_t>(comp_members.size());
-      root_to_comp.emplace(r, c);
-      comp_members.emplace_back();
-      comp_first.emplace_back();
-    } else {
-      c = it->second;
-    }
-    if (comp_first[c].emplace(img_of[x], x).second) comp_members[c].push_back(x);
-  }
-
-  // tracks with >= min_track_length distinct images; members sorted by image
-  std::vector<std::vector<int64_t>> track_members;  // sorted global ids
-  for (auto& members : comp_members) {
-    if (static_cast<int>(members.size()) < min_track_length) continue;
-    std::sort(members.begin(), members.end());  // global id order == image order
-    track_members.push_back(members);
+    if (emitted[r]) continue;
+    emitted[r] = 1;
+    const Obs& o = obs[r];
+    // lazily-initialized roots with no accepted union are singletons
+    size_t sz = o.empty() ? 1 : o.size();
+    if (static_cast<int>(sz) < min_track_length) continue;
+    std::vector<int64_t> members;
+    members.reserve(sz);
+    if (o.empty()) members.push_back(r);
+    else for (const auto& kv : o) members.push_back(kv.second);
+    track_members.push_back(std::move(members));
   }
   int64_t T = static_cast<int64_t>(track_members.size());
   g.n_tracks = T;
@@ -270,9 +289,20 @@ void* opst_process(int n_images, int n_pairs, const int32_t* pair_imgs,
                    int min_track_length, int max_track_length) {
   auto* g = new Graph();
   g->n_images = n_images;
+  const bool trace = std::getenv("OPST_TRACE") != nullptr;
+  auto t0 = std::chrono::steady_clock::now();
   merge_keypoints(*g, n_pairs, pair_imgs, pair_offsets, uv_i, uv_j, score,
                   quant);
+  auto t1 = std::chrono::steady_clock::now();
   build_and_assign(*g, min_track_length, max_track_length);
+  auto t2 = std::chrono::steady_clock::now();
+  if (trace) {
+    auto ms = [](auto a, auto b) {
+      return std::chrono::duration<double, std::milli>(b - a).count();
+    };
+    std::fprintf(stderr, "[trackgraph] merge %.1f ms, build+assign %.1f ms\n",
+                 ms(t0, t1), ms(t1, t2));
+  }
   return g;
 }
 

@@ -57,11 +57,37 @@ def select_track_length_threshold(
     track_lengths: np.ndarray, max_points: int, start: int = 3
 ) -> int:
     """Smallest threshold keeping at most max_points tracks
-    (reference filter_tkl.get_tkl:37)."""
+    (reference filter_tkl.get_tkl:37).
+
+    Unlike COLMAP's unbounded track lengths, ours are capped at
+    max_track_length, so whole cohorts tie at the cap; when even the
+    maximum-length cohort exceeds max_points the loop must stop there
+    (returning cap+1 would empty the map — r1 scale-test finding). The
+    caller breaks the remaining tie by score (see cap_points_by_score).
+    """
+    if len(track_lengths) == 0:
+        return start
     thr = start
-    while np.sum(track_lengths >= thr) > max_points:
+    top = int(track_lengths.max())
+    while thr < top and np.sum(track_lengths >= thr) > max_points:
         thr += 1
     return thr
+
+
+def cap_points_by_score(
+    keep: np.ndarray, scores: np.ndarray, max_points: int
+) -> np.ndarray:
+    """Deterministically trim a keep-mask to max_points by descending score
+    (ties broken by index). Used when the track-length threshold alone
+    cannot discriminate (length-capped cohorts)."""
+    n_keep = int(keep.sum())
+    if n_keep <= max_points:
+        return keep
+    ids = np.nonzero(keep)[0]
+    order = np.argsort(-scores[ids], kind="stable")
+    out = np.zeros_like(keep)
+    out[ids[order[:max_points]]] = True
+    return out
 
 
 def merge_close_points(

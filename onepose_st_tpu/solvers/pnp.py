@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..config import PnPConfig
 from ..core import camera, so3
+from .p3p import p3p_poses
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -103,30 +104,71 @@ def ransac_pnp(
     N = pts3d.shape[0]
     n_hyp = cfg.n_hypotheses
     sample = max(cfg.sample_size, 6)  # DLT needs 6 points (12 eqs, 11 dof)
-
-    # --- 1. sampling: Gumbel top-k over valid entries, per hypothesis
-    g = jax.random.gumbel(rng, (n_hyp, N))
-    scores = jnp.where(valid[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(scores, sample)                 # [n_hyp, 6]
-
     xn_all = _normalize_points(uv, K)
-    pts_s = pts3d[idx]                                     # [n_hyp, 6, 3]
-    xn_s = xn_all[idx]                                     # [n_hyp, 6, 2]
 
-    # --- 2. minimal solver per hypothesis
-    poses = jax.vmap(_dlt_pose)(pts_s, xn_s)               # [n_hyp, 6]
+    def _sample_idx(key, mask, n_sets, set_size):
+        """Gumbel top-k subset sampling restricted to mask=True entries."""
+        g = jax.random.gumbel(key, (n_sets, N))
+        scores = jnp.where(mask[None, :], g, -jnp.inf)
+        _, idx = jax.lax.top_k(scores, set_size)
+        return idx
 
-    # --- 3. scoring
-    def score(pose6):
+    def _score(pose6):
         r = _reproj_residual(pose6, pts3d, uv, K)          # [N, 2]
         err2 = jnp.sum(r * r, axis=-1)
         inl = (err2 < cfg.reproj_threshold_px**2) & valid
         return jnp.sum(inl), inl
 
-    counts, inlier_sets = jax.vmap(score)(poses)
+    # --- 1+2. hypothesis generation: DLT-6 and/or P3P minimal solves
+    k_dlt, k_p3p, k_lo = jax.random.split(rng, 3)
+    pose_banks, count_banks, inl_banks = [], [], []
+    n_dlt = {"dlt": n_hyp, "p3p": 0, "mixed": n_hyp // 2}[cfg.solver]
+    n_p3p = n_hyp - n_dlt
+    if n_dlt > 0:
+        idx = _sample_idx(k_dlt, valid, n_dlt, sample)
+        poses_d = jax.vmap(_dlt_pose)(pts3d[idx], xn_all[idx])
+        c, il = jax.vmap(_score)(poses_d)
+        pose_banks.append(poses_d)
+        count_banks.append(c)
+        inl_banks.append(il)
+    if n_p3p > 0:
+        idx3 = _sample_idx(k_p3p, valid, n_p3p, 3)
+        poses_p, ok_p = jax.vmap(p3p_poses)(pts3d[idx3], xn_all[idx3])
+        poses_p = poses_p.reshape(-1, 6)                  # [n_p3p*4, 6]
+        ok_p = ok_p.reshape(-1)
+        c, il = jax.vmap(_score)(poses_p)
+        c = jnp.where(ok_p, c, -1)                        # invalid roots lose
+        pose_banks.append(poses_p)
+        count_banks.append(c)
+        inl_banks.append(il)
+
+    poses = jnp.concatenate(pose_banks)
+    counts = jnp.concatenate(count_banks)
+    inlier_sets = jnp.concatenate(inl_banks)
+
+    # --- 3. best hypothesis
     best = jnp.argmax(counts)
     pose = poses[best]
     inliers = inlier_sets[best]
+    n_best = counts[best]
+
+    # --- 3b. LO-RANSAC: re-solve with larger samples drawn from the current
+    # inlier set (Lebeda-style local optimization; the accuracy/robustness
+    # stage pycolmap gets from its LORANSAC refinement)
+    lo_sz = max(cfg.lo_sample_size, 6)
+    for round_i in range(cfg.lo_rounds):
+        k_lo, k_r = jax.random.split(k_lo)
+        # if fewer inliers than the sample size, top-k pads with arbitrary
+        # valid points — harmless: candidates only replace on improvement
+        pool = jnp.where(inliers.sum() >= 6, inliers, valid)
+        idx = _sample_idx(k_r, pool, cfg.lo_hypotheses, lo_sz)
+        poses_l = jax.vmap(_dlt_pose)(pts3d[idx], xn_all[idx])
+        c_l, il_l = jax.vmap(_score)(poses_l)
+        b_l = jnp.argmax(c_l)
+        improve = c_l[b_l] > n_best
+        pose = jnp.where(improve, poses_l[b_l], pose)
+        inliers = jnp.where(improve, il_l[b_l], inliers)
+        n_best = jnp.maximum(c_l[b_l], n_best)
 
     # --- 4. Gauss-Newton polish on inliers (fixed iterations)
     w = inliers.astype(jnp.float32)

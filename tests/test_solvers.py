@@ -114,3 +114,67 @@ def test_pnp_too_few_valid_reports_failure(rng):
         jnp.asarray(valid), cfg,
     )
     assert not bool(res.success)
+
+
+def test_p3p_minimal_exact(rng):
+    """P3P recovers the GT pose from 3 exact correspondences (one of <=4 roots)."""
+    from onepose_st_tpu.solvers.p3p import p3p_poses
+    from onepose_st_tpu.core import so3
+
+    hits = 0
+    for seed in range(12):
+        r = np.random.default_rng(seed)
+        pts = r.uniform(-0.2, 0.2, (3, 3)).astype(np.float32)
+        R = Rotation.random(random_state=seed).as_matrix().astype(np.float32)
+        t = np.array([0.05, -0.02, 0.8], np.float32)
+        pc = pts @ R.T + t
+        xn = (pc[:, :2] / pc[:, 2:]).astype(np.float32)
+        poses, valid = jax.jit(p3p_poses)(jnp.asarray(pts), jnp.asarray(xn))
+        best = 1e9
+        for i in range(4):
+            if not bool(valid[i]):
+                continue
+            R2, t2 = so3.pose6_to_Rt(poses[i])
+            cosang = (np.trace(np.asarray(R2).T @ R) - 1) / 2
+            rot_err = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+            best = min(best, rot_err)
+        if best < 2.0:
+            hits += 1
+    # f32 quartic roots occasionally land a couple degrees off (polish in
+    # RANSAC fixes that); the solver itself must find the root almost always
+    assert hits >= 10
+
+
+def test_pnp_60pct_outliers(rng):
+    """The verdict's robustness bar: clean recovery at 60% outliers."""
+    res, r_err, t_err = run_pnp(rng, outlier_frac=0.6, N=500)
+    assert bool(res.success)
+    assert r_err < 0.5 and t_err < 0.5
+
+
+def test_pnp_80pct_outliers(rng):
+    """P3P sampling keeps RANSAC alive far past the DLT-6 breakdown."""
+    res, r_err, t_err = run_pnp(rng, outlier_frac=0.8, N=500)
+    assert bool(res.success)
+    assert r_err < 1.0 and t_err < 1.0
+
+
+def test_pnp_solvers_agree_low_outliers(rng):
+    """dlt / p3p / mixed all nail the easy regime."""
+    import dataclasses
+
+    pts, uv, K, pose_gt, valid = synth_pnp_problem(rng, N=300, outlier_frac=0.2)
+    from onepose_st_tpu.core import so3
+
+    for solver in ("dlt", "p3p", "mixed"):
+        cfg = dataclasses.replace(PnPConfig(n_hypotheses=256), solver=solver)
+        res = ransac_pnp(
+            jax.random.key(1), jnp.asarray(pts), jnp.asarray(uv),
+            jnp.asarray(K), jnp.asarray(valid), cfg,
+        )
+        R, t = so3.pose6_to_Rt(res.pose6)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(R)
+        T[:3, 3] = np.asarray(t)
+        r_err, t_err = metrics.query_pose_error(T, pose_gt)
+        assert bool(res.success) and r_err < 0.2 and t_err < 0.2, solver
