@@ -145,30 +145,29 @@ def make_tracks(
     )
 
 
-def render_splats(
-    scene: Scene,
-    frame_idx: int,
+def splat_image(
+    uv: np.ndarray,
+    depth: np.ndarray,
+    visible: np.ndarray,
     point_amps: np.ndarray,
+    image_hw: tuple[int, int],
     sigma_px: float = 2.5,
     background: float = 0.15,
-    seed: int = 0,
 ) -> np.ndarray:
-    """Gaussian-splat rendering of the scene's points into one view.
+    """Gaussian-splat rendering of arbitrary projected points into one view.
 
     Each 3D point has a fixed random amplitude (its "appearance"), so local
     image content is tied to 3D identity — enough signal for the matchers
     to learn 2D-3D association in end-to-end tests without a mesh renderer.
-    Splat size scales inversely with depth (weak perspective cue).
+    Splat size scales inversely with depth (weak perspective cue); painter's
+    order (far to near) gives correct occlusion between point sets.
     """
-    H, W = scene.image_hw
+    H, W = image_hw
     img = np.full((H, W), background, np.float32)
-    uv = scene.uv[frame_idx]
-    depth = scene.depth[frame_idx]
-    vis = scene.visible[frame_idx]
     order = np.argsort(-depth)  # far to near: near splats overwrite
     ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
     for p in order:
-        if not vis[p]:
+        if not visible[p]:
             continue
         u, v = uv[p]
         s = sigma_px * 0.5 / max(depth[p], 0.1)
@@ -184,6 +183,141 @@ def render_splats(
         a = point_amps[p]
         img[y0:y1, x0:x1] = img[y0:y1, x0:x1] * (1 - g) + a * g
     return np.clip(img, 0.0, 1.0)
+
+
+def render_splats(
+    scene: Scene,
+    frame_idx: int,
+    point_amps: np.ndarray,
+    sigma_px: float = 2.5,
+    background: float = 0.15,
+    seed: int = 0,
+) -> np.ndarray:
+    """Render one view of a Scene (see splat_image)."""
+    return splat_image(
+        scene.uv[frame_idx], scene.depth[frame_idx], scene.visible[frame_idx],
+        point_amps, scene.image_hw, sigma_px=sigma_px, background=background,
+    )
+
+
+class WildScene(NamedTuple):
+    """Full-frame test scenario: off-center wandering object + background.
+
+    `scene` carries the OBJECT geometry (poses/K are the real camera; uv,
+    depth, visible are object-point projections into the FULL frame).
+    Background points add realistic parallax clutter the detector must
+    reject (the reference's in-the-wild videos, inference.py:136-224).
+    """
+
+    scene: Scene
+    bg_points: np.ndarray   # [B, 3]
+    bg_uv: np.ndarray       # [F, B, 2]
+    bg_depth: np.ndarray    # [F, B]
+    bg_visible: np.ndarray  # [F, B]
+
+
+def make_wild_scene(
+    rng: np.random.Generator,
+    n_points: int = 400,
+    n_bg: int = 700,
+    n_frames: int = 60,
+    radius: float = 0.6,
+    object_size: float = 0.2,
+    image_hw: tuple[int, int] = (512, 512),
+    focal: float | None = None,
+    elevation_jitter: float = 0.05,
+    wander: float = 0.12,
+) -> WildScene:
+    """Orbit whose look-target drifts (smooth random walk, world units), so
+    the object projects off-center and moves around the full frame; uniform
+    background points scattered in a shell around the object."""
+    H, W = image_hw
+    focal = focal if focal is not None else 1.4 * min(H, W)
+    pts = rng.uniform(-object_size / 2, object_size / 2, size=(n_points, 3))
+    # background: shell between 1.5x and 4x the object radius, biased away
+    # from the camera orbit plane is unnecessary — occlusions are realistic
+    d = rng.uniform(object_size * 1.5, object_size * 4.0, size=n_bg)
+    dirs = rng.normal(size=(n_bg, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    bg = dirs * d[:, None]
+
+    # smooth wandering look-target (AR(1) velocity walk, clipped)
+    tgt = np.zeros(3)
+    vel = np.zeros(3)
+    targets = []
+    for _ in range(n_frames):
+        vel = 0.85 * vel + rng.normal(size=3) * wander * 0.08
+        tgt = np.clip(tgt + vel, -wander, wander)
+        targets.append(tgt.copy())
+
+    Rs, ts, poses = [], [], []
+    for i in range(n_frames):
+        a = 2 * np.pi * i / n_frames
+        h = rng.uniform(-elevation_jitter, elevation_jitter)
+        eye = np.array([radius * np.cos(a), h, radius * np.sin(a)])
+        R, t = look_at(eye, targets[i])
+        Rs.append(R)
+        ts.append(t)
+        poses.append(np.concatenate([Rotation.from_matrix(R).as_rotvec(), t]))
+    Rs = np.stack(Rs).astype(np.float32)
+    ts = np.stack(ts).astype(np.float32)
+    poses = np.stack(poses).astype(np.float32)
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+    Ks = np.tile(K, (n_frames, 1, 1))
+
+    def project(world):
+        p_cam = np.einsum("fij,pj->fpi", Rs, world) + ts[:, None, :]
+        depth = p_cam[..., 2]
+        uvz = np.einsum("fij,fpj->fpi", Ks, p_cam)
+        uv = uvz[..., :2] / np.clip(uvz[..., 2:], 1e-9, None)
+        vis = (
+            (depth > 0.05)
+            & (uv[..., 0] > 0) & (uv[..., 0] < W)
+            & (uv[..., 1] > 0) & (uv[..., 1] < H)
+        )
+        return uv.astype(np.float32), depth.astype(np.float32), vis
+
+    uv, depth, vis = project(pts)
+    bg_uv, bg_depth, bg_vis = project(bg)
+    scene = Scene(
+        points=pts.astype(np.float32), poses=poses, Rs=Rs, ts=ts, Ks=Ks,
+        uv=uv, depth=depth, visible=vis, image_hw=image_hw,
+    )
+    return WildScene(
+        scene=scene, bg_points=bg.astype(np.float32), bg_uv=bg_uv,
+        bg_depth=bg_depth, bg_visible=bg_vis,
+    )
+
+
+def render_wild_sequence(
+    wild: WildScene,
+    rng: np.random.Generator,
+    sigma_px: float = 2.0,
+    background: float = 0.15,
+    noise: float = 0.01,
+) -> np.ndarray:
+    """Render full frames: object + background splats, correct occlusion."""
+    scene = wild.scene
+    n_obj = len(scene.points)
+    amps = rng.uniform(0.3, 1.0, size=n_obj + len(wild.bg_points)).astype(
+        np.float32
+    )
+    frames = []
+    for f in range(len(scene.poses)):
+        uv = np.concatenate([scene.uv[f], wild.bg_uv[f]])
+        depth = np.concatenate([scene.depth[f], wild.bg_depth[f]])
+        vis = np.concatenate([scene.visible[f], wild.bg_visible[f]])
+        img = splat_image(
+            uv, depth, vis, amps, scene.image_hw,
+            sigma_px=sigma_px, background=background,
+        )
+        if noise > 0:
+            img = np.clip(
+                img + rng.normal(size=img.shape).astype(np.float32) * noise,
+                0, 1,
+            ).astype(np.float32)
+        frames.append(img)
+    return np.stack(frames)
 
 
 def render_sequence(

@@ -24,6 +24,7 @@ class EvalReport:
     median_t_cm: float
     r_errs: np.ndarray
     t_errs: np.ndarray
+    ate_cm: float = float("nan")
 
     def row(self) -> dict:
         return {
@@ -33,6 +34,7 @@ class EvalReport:
             "proj2D@5px": self.proj2d_5px,
             "median_r_deg": self.median_r_deg,
             "median_t_cm": self.median_t_cm,
+            "ATE_cm": self.ate_cm,
         }
 
 
@@ -68,7 +70,18 @@ def evaluate_poses(
                     model_points, pred_T44[f], gt_T44[f], K_f
                 )
     finite = np.isfinite(r_errs)
+    # ATE over successfully-estimated camera centers (Umeyama-aligned,
+    # reference eval_helper.py:10-60); center = -R^T t of world->cam
+    ok = finite
+    ate = float("nan")
+    if ok.sum() >= 3:
+        c_pred = np.einsum(
+            "fij,fi->fj", pred_T44[ok, :3, :3], -pred_T44[ok, :3, 3]
+        )
+        c_gt = np.einsum("fij,fi->fj", gt_T44[ok, :3, :3], -gt_T44[ok, :3, 3])
+        ate = 100.0 * metrics.ate_rmse(c_pred, c_gt, with_scale=False)
     return EvalReport(
+        ate_cm=ate,
         n_frames=F,
         aps=metrics.aggregate_metrics(r_errs, t_errs),
         add_01d=float(adds.mean()) if model_points is not None else float("nan"),
