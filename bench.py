@@ -30,13 +30,73 @@ def _peak_flops(device) -> float:
     return PEAK_FLOPS["cpu"]
 
 
+_ACHIEVABLE = None
+
+
+def _achievable_flops() -> float:
+    """Measured pure-GEMM bf16 rate on THIS device (TF/s -> FLOP/s).
+
+    The tunneled chip delivers ~26% of nominal peak regardless of kernel
+    (EXPERIMENTS.md calibration); nominal-peak rooflines flatter nobody and
+    mislead everybody, so every mode reports vs_achievable against this
+    measured ceiling alongside vs_baseline (nominal).
+    """
+    global _ACHIEVABLE
+    if _ACHIEVABLE is not None:
+        return _ACHIEVABLE
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n, reps = (4096, 8) if on_tpu else (1024, 4)
+    dt_ = jnp.bfloat16 if on_tpu else jnp.float32
+    a = jnp.ones((n, n), dt_)
+    b = jnp.ones((n, n), dt_)
+
+    @jax.jit
+    def gemm_loop(a, b):
+        def body(_, x):
+            return jnp.tanh(x @ b)  # tanh breaks trivial CSE
+
+        return jax.lax.fori_loop(0, reps, body, a)
+
+    float(jnp.sum(gemm_loop(a, b).astype(jnp.float32)))  # compile+warm
+    t0 = time.perf_counter()
+    out = gemm_loop(a, b)
+    float(jnp.sum(out.astype(jnp.float32)))
+    dt = time.perf_counter() - t0
+    _ACHIEVABLE = (2 * n**3 * reps) / dt
+    return _ACHIEVABLE
+
+
+def _roofline(flops: float, dt: float) -> dict:
+    """vs_baseline (nominal peak) + vs_achievable (measured GEMM ceiling)."""
+    import jax
+
+    peak = _peak_flops(jax.devices()[0])
+    rate = flops / dt if np.isfinite(flops) and flops > 0 else 0.0
+    ach = _achievable_flops()
+    return {
+        "tflops": round(rate / 1e12, 2),
+        "vs_baseline": round(rate / peak, 4),
+        "vs_achievable": round(rate / ach, 4) if ach > 0 else 0.0,
+    }
+
+
+def _cost_flops(compiled) -> float:
+    try:
+        return float(compiled.cost_analysis()["flops"])
+    except Exception:
+        return float("nan")
+
+
 def bench_matcher(batch: int = 8, iters: int = 30) -> dict:
     import jax
 
     from onepose_st_tpu import config as cfg_lib
     from onepose_st_tpu.models import OnePoseMatcher
 
-    cfg = cfg_lib.MatcherConfig()
+    cfg = cfg_lib.adapt_dtypes(cfg_lib.MatcherConfig())
     model = OnePoseMatcher(cfg)
     rng = np.random.default_rng(0)
     B, H, W, L = batch, 512, 512, cfg.n_points
@@ -78,13 +138,11 @@ def bench_matcher(batch: int = 8, iters: int = 30) -> dict:
     float(cs)  # sync
     dt = (time.perf_counter() - t0) / iters
     fps = B / dt
-    peak = _peak_flops(jax.devices()[0])
-    sol_fraction = (flops / dt) / peak if np.isfinite(flops) else 0.0
     return {
-        "metric": "matcher2d3d_forward_fps_1chip_b8_512px_7040pts",
+        "metric": f"matcher2d3d_forward_fps_1chip_b{batch}_512px_7040pts",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(sol_fraction, 4),
+        **_roofline(flops, dt),
     }
 
 
@@ -97,7 +155,7 @@ def bench_train(batch: int = 8, image: int = 256, iters: int = 20) -> dict:
     from onepose_st_tpu.models import OnePoseMatcher
     from onepose_st_tpu.train import step as step_lib
 
-    cfg = cfg_lib.EngineConfig()
+    cfg = cfg_lib.adapt_dtypes(cfg_lib.EngineConfig())
     model = OnePoseMatcher(cfg.matcher)
     rng = np.random.default_rng(0)
     B, H, W, L = batch, image, image, cfg.matcher.n_points
@@ -119,6 +177,11 @@ def bench_train(batch: int = 8, image: int = 256, iters: int = 20) -> dict:
     tx = step_lib.make_optimizer(cfg.train, world_size=1, steps_per_epoch=1000)
     state = step_lib.init_state(jax.random.key(0), model, tx, batch_dev)
     jitted = jax.jit(step_lib.train_step, static_argnames=("model", "tx", "cfg"))
+    flops = _cost_flops(
+        jitted.lower(
+            state, batch_dev, jax.random.key(1), model=model, tx=tx, cfg=cfg
+        ).compile()
+    )
     state, scalars = jitted(
         state, batch_dev, jax.random.key(1), model=model, tx=tx, cfg=cfg
     )
@@ -134,7 +197,7 @@ def bench_train(batch: int = 8, image: int = 256, iters: int = 20) -> dict:
         "metric": f"matcher_train_step_its_1chip_b{batch}_{image}px",
         "value": round(1.0 / dt, 2),
         "unit": "it/s",
-        "vs_baseline": 0.0,
+        **_roofline(flops, dt),
     }
 
 
@@ -162,6 +225,12 @@ def bench_depth_ba(n_tracks: int = 15000, track_len: int = 16, iters: int = 10) 
         Ks=jnp.asarray(scene.Ks),
     )
     depth0 = jnp.asarray(tracks.depth_gt * (1.0 + 0.05 * rng.normal(size=T).astype(np.float32)))
+    import jax
+
+    jitted_ba = jax.jit(solve_depth_ba, static_argnames=("max_iters",))
+    flops = _cost_flops(
+        jitted_ba.lower(depth0, prob, max_iters=32).compile()
+    )
     depth, info = solve_depth_ba(depth0, prob, max_iters=32)
     float(info["final_cost"])  # warmup + compile
     t0 = time.perf_counter()
@@ -174,7 +243,7 @@ def bench_depth_ba(n_tracks: int = 15000, track_len: int = 16, iters: int = 10) 
         "metric": f"depth_ba_solve_tracks_per_s_T{T}_M{track_len}",
         "value": round(T / dt, 1),
         "unit": "tracks/s",
-        "vs_baseline": 0.0,
+        **_roofline(flops, dt),
     }
 
 
@@ -190,7 +259,7 @@ def bench_pipeline(iters: int = 50) -> dict:
     from onepose_st_tpu.models import OnePoseMatcher
     from onepose_st_tpu.solvers import ransac_pnp
 
-    cfg = cfg_lib.EngineConfig()
+    cfg = cfg_lib.adapt_dtypes(cfg_lib.EngineConfig())
     model = OnePoseMatcher(cfg.matcher)
     rng = np.random.default_rng(0)
     H = W = 512
@@ -215,6 +284,11 @@ def bench_pipeline(iters: int = 50) -> dict:
         return res.pose6, res.n_inliers
 
     jitted = jax.jit(fwd_pnp)
+    flops = _cost_flops(
+        jitted.lower(
+            variables, img, kpts, dc, df, mask, K, jax.random.key(0)
+        ).compile()
+    )
     np.asarray(jitted(variables, img, kpts, dc, df, mask, K, jax.random.key(0))[0])
     t0 = time.perf_counter()
     for i in range(iters):
@@ -227,8 +301,152 @@ def bench_pipeline(iters: int = 50) -> dict:
         "metric": "closed_loop_pose_fps_1chip_b1_512px",
         "value": round(1.0 / dt, 2),
         "unit": "frames/s",
-        "vs_baseline": 0.0,
+        **_roofline(flops, dt),
     }
+
+
+def bench_scaling(batch_per_dev: int = 8, iters: int = 20) -> list[dict]:
+    """Multi-device scaling: matcher forward + sharded depth-BA over a
+    1..N-device mesh (frames/s resp. tracks/s, plus efficiency vs linear
+    scaling from 1 device). On a single-chip or CPU run this measures what
+    the hardware offers (8 virtual CPU devices in tests via
+    xla_force_host_platform_device_count); the same code path produces the
+    north-star numbers unchanged on a real multi-chip slice (BASELINE.md
+    >=80% efficiency target at N>=2).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_st_tpu import config as cfg_lib
+    from onepose_st_tpu.data import synthetic
+    from onepose_st_tpu.models import OnePoseMatcher
+    from onepose_st_tpu.parallel import make_mesh, mesh as mesh_lib
+    from onepose_st_tpu.sfm.ba.distributed import solve_bundle_sharded
+
+    n_dev_all = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev_all]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu:
+        # virtual-CPU correctness + shape-of-curve run (tests/dryrun); the
+        # real sizes below produce the north-star numbers on TPU hardware
+        batch_per_dev = min(batch_per_dev, 2)
+        iters = min(iters, 3)
+    cfg = cfg_lib.adapt_dtypes(cfg_lib.MatcherConfig())
+    if not on_tpu:
+        cfg = cfg_lib.replace(
+            cfg,
+            backbone=cfg_lib.BackboneConfig(
+                initial_dim=32, block_dims=(32, 48, 64), dtype=cfg.backbone.dtype
+            ),
+            coarse=cfg_lib.replace(cfg.coarse, d_model=64, nhead=4, layer_iter_n=2),
+            fine=cfg_lib.replace(cfg.fine, d_model=32),
+            kpt_encoding=cfg_lib.KeypointEncodingConfig(
+                hidden=(16, 32), descriptor_dim=64
+            ),
+            n_points=512,
+        )
+    model = OnePoseMatcher(cfg)
+    rng = np.random.default_rng(0)
+    H = W = 512 if on_tpu else 128
+    L = cfg.n_points
+    out: list[dict] = []
+
+    # --- matcher forward scaling ------------------------------------------
+    base_fps = None
+    for n in sizes:
+        mesh = make_mesh(n)
+        B = batch_per_dev * n
+        img = rng.uniform(size=(B, H, W, 1)).astype(np.float32)
+        kpts = rng.uniform(-0.1, 0.1, size=(B, L, 3)).astype(np.float32)
+        dc = rng.normal(size=(B, L, cfg.coarse.d_model)).astype(np.float32)
+        df = rng.normal(size=(B, L, cfg.fine.d_model)).astype(np.float32)
+        mask = np.ones((B, L), bool)
+        variables = jax.jit(model.init)(
+            jax.random.key(0), jnp.asarray(img[:1]), jnp.asarray(kpts[:1]),
+            jnp.asarray(dc[:1]), jnp.asarray(df[:1]), jnp.asarray(mask[:1]),
+        )
+        variables = mesh_lib.replicate_pytree(variables, mesh)
+        spec = mesh_lib.shard_batch(mesh)
+        args = [
+            jax.device_put(jnp.asarray(a), spec(a))
+            for a in (img, kpts, dc, df, mask)
+        ]
+
+        def fwd(v, img, kpts, dc, df, mask):
+            o = model.apply(v, img, kpts, dc, df, mask)
+            return (
+                jnp.sum(o["mkpts_query_f"]) + jnp.sum(o["matches"].conf)
+            )
+
+        fwd_jit = jax.jit(fwd)
+        float(fwd_jit(variables, *args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            cs = fwd_jit(variables, *args)
+        float(cs)
+        dt = (time.perf_counter() - t0) / iters
+        fps = B / dt
+        if base_fps is None:
+            base_fps = fps
+        eff = fps / (n * base_fps)
+        out.append({
+            "metric": f"scaling_matcher_fwd_fps_{n}dev_b{batch_per_dev}x{n}",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "n_devices": n,
+            "efficiency": round(eff, 4),
+            "vs_baseline": round(eff, 4),
+        })
+
+    # --- sharded bundle-adjustment scaling --------------------------------
+    n_ba = 8192 if on_tpu else 2048
+    scene = synthetic.make_scene(rng, n_points=n_ba, n_frames=32)
+    tracks = synthetic.make_tracks(scene, rng, max_track_length=8, noise_px=0.5)
+    T = len(tracks.depth_gt)
+    obs_frame = np.concatenate(
+        [tracks.ref_idx[:, None], tracks.obs_idx], axis=1
+    )
+    obs_uv = np.concatenate([tracks.kpt0[:, None], tracks.kpt1], axis=1)
+    obs_mask = np.concatenate([np.ones((T, 1), bool), tracks.mask], axis=1)
+    pts0 = scene.points + rng.normal(size=scene.points.shape).astype(np.float32) * 0.002
+    fixed = np.zeros(len(scene.poses), bool)
+    fixed[:2] = True
+    from onepose_st_tpu.sfm.ba.bundle import BundleProblem
+
+    prob = BundleProblem(
+        Ks=jnp.asarray(scene.Ks),
+        obs_frame=jnp.asarray(obs_frame),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_mask=jnp.asarray(obs_mask),
+        fixed_pose=jnp.asarray(fixed),
+        huber_px=4.0,
+    )
+    base_tps = None
+    for n in sizes:
+        mesh = make_mesh(n)
+        t_sol = None
+        for rep in range(3 if on_tpu else 2):
+            t0 = time.perf_counter()
+            poses_new, pts_new, info = solve_bundle_sharded(
+                jnp.asarray(scene.poses), jnp.asarray(pts0), prob,
+                mesh, max_iters=10,
+            )
+            float(info.final_cost)
+            dt = time.perf_counter() - t0
+            t_sol = dt if t_sol is None else min(t_sol, dt)
+        tps = T / t_sol
+        if base_tps is None:
+            base_tps = tps
+        eff = tps / (n * base_tps)
+        out.append({
+            "metric": f"scaling_sharded_ba_tracks_per_s_{n}dev_T{T}",
+            "value": round(tps, 1),
+            "unit": "tracks/s",
+            "n_devices": n,
+            "efficiency": round(eff, 4),
+            "vs_baseline": round(eff, 4),
+        })
+    return out
 
 
 def main():
@@ -238,15 +456,22 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "matcher"
     if which == "matcher":
         result = bench_matcher()
+    elif which == "matcher16":
+        result = bench_matcher(batch=16)
     elif which == "train":
         result = bench_train()
     elif which == "depth_ba":
         result = bench_depth_ba()
     elif which == "pipeline":
         result = bench_pipeline()
+    elif which == "scaling":
+        for r in bench_scaling():
+            print(json.dumps(r))
+        return
     elif which == "all":
         for r in (
-            bench_matcher(), bench_train(), bench_depth_ba(), bench_pipeline()
+            bench_matcher(), bench_matcher(batch=16), bench_train(),
+            bench_depth_ba(), bench_pipeline(),
         ):
             print(json.dumps(r))
         return
