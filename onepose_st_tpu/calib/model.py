@@ -25,6 +25,9 @@ class CalibConfig:
     initial_dim: int = 64
     bn_size: int = 4            # bottleneck width multiplier
     head_dense_layers: int = 3
+    head_growth_rate: int | None = None  # reference heads use 32 even on a
+                                         # growth-48 densenet161 trunk
+                                         # (densenet.py:72); None = growth_rate
     head_hidden: int = 512
     image_size: int = 224
     dtype: str = "bfloat16"
@@ -102,13 +105,26 @@ class CalibHead(nn.Module):
         c = self.cfg
         dt = c.jnp_dtype
         h = Transition(feat.shape[-1] // 2, dt)(feat, train)
-        h = DenseBlock(c.head_dense_layers, c.growth_rate, c.bn_size, dt)(h, train)
+        h = DenseBlock(
+            c.head_dense_layers, c.head_growth_rate or c.growth_rate,
+            c.bn_size, dt,
+        )(h, train)
         h = nn.BatchNorm(use_running_average=not train, dtype=dt)(h)
         h = nn.relu(h)
         h = jnp.mean(h, axis=(1, 2))  # global average pool
         h = nn.relu(nn.Dense(c.head_hidden, dtype=dt)(h))
         logits = nn.Dense(c.num_bins, dtype=jnp.float32)(h.astype(jnp.float32))
         return nn.log_softmax(logits, axis=-1)
+
+
+def densenet161_config(**kw) -> CalibConfig:
+    """Exact torchvision densenet161 trunk shape (the reference's vendored
+    DeepSingleImageCalibration model, densenet.py:22 'model': 'densenet161')
+    so converted reference weights drop in (utils/convert_rules.calibnet_rules)."""
+    return CalibConfig(
+        growth_rate=48, block_layers=(6, 12, 36, 24), initial_dim=96,
+        head_growth_rate=32, **kw,
+    )
 
 
 class CalibNet(nn.Module):

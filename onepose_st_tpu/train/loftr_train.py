@@ -167,6 +167,7 @@ def fit_loftr(
     log_fn: Callable[[int, dict], None] | None = None,
     steps_per_epoch: int = 1000,
     init: TrainState | None = None,
+    tb_dir=None,
 ) -> tuple[TrainState, list[dict]]:
     """Train the 2D-2D matcher; mirrors train/loop.fit for the 2D-3D one."""
     seed = train_cfg.seed if seed is None else seed
@@ -195,6 +196,13 @@ def fit_loftr(
             options=ocp.CheckpointManagerOptions(max_to_keep=3),
         )
 
+    tb = None
+    if tb_dir is None and ckpt_dir is not None:
+        tb_dir = Path(ckpt_dir) / "tb"
+    if tb_dir is not None:
+        from ..utils.tboard import SummaryWriter
+
+        tb = SummaryWriter(tb_dir)
     history: list[dict] = []
     # fold_in(base, global_step) RNG: resume replays the exact stream
     base_rng = jax.random.key(seed + 1)
@@ -216,6 +224,8 @@ def fit_loftr(
                 rec["step"] = g
                 rec["steps_per_sec"] = (i + 1) / (time.time() - t0)
                 history.append(rec)
+                if tb is not None:
+                    tb.add_scalars(rec, g, prefix="train/")
                 if log_fn:
                     log_fn(g, rec)
             if ckpt_mgr is not None and (i + 1) % ckpt_every == 0:
@@ -223,6 +233,9 @@ def fit_loftr(
     if ckpt_mgr is not None:
         ckpt_mgr.save(start + n_steps, args=_ckpt_args(state))
         ckpt_mgr.wait_until_finished()
+    if tb is not None:
+        tb.flush()
+        tb.close()
     if ckpt_dir is not None and history:
         import json
 

@@ -37,6 +37,7 @@ def fit(
     val_fn: Callable[[step_lib.TrainState], dict] | None = None,
     val_every: int = 1000,
     select_metric: str = "3cm@3degree",
+    tb_dir: str | Path | None = None,
 ) -> tuple[step_lib.TrainState, list[dict]]:
     """Run `n_steps` of training over `batches` (an iterable of host Batches).
 
@@ -90,6 +91,14 @@ def fit(
                 options=ocp.CheckpointManagerOptions(max_to_keep=1),
             )
 
+    tb = None
+    if tb_dir is None and ckpt_dir is not None:
+        tb_dir = Path(ckpt_dir) / "tb"
+    if tb_dir is not None:
+        from ..utils.tboard import SummaryWriter
+
+        tb = SummaryWriter(tb_dir)
+
     history: list[dict] = []
     best = {"step": -1, "metric": -float("inf")}
     # per-step RNG is fold_in(base, global_step): a resumed run replays the
@@ -104,6 +113,8 @@ def fit(
         rec = {f"val/{k}": float(v) for k, v in metrics.items()}
         rec["step"] = step
         history.append(rec)
+        if tb is not None:
+            tb.add_scalars(rec, step)
         if log_fn:
             log_fn(step, rec)
         m = metrics.get(select_metric)
@@ -126,6 +137,8 @@ def fit(
                 rec["step"] = g
                 rec["steps_per_sec"] = (i + 1) / (time.time() - t0)
                 history.append(rec)
+                if tb is not None:
+                    tb.add_scalars(rec, g, prefix="train/")
                 if log_fn:
                     log_fn(g, rec)
             if val_fn is not None and (i + 1) % val_every == 0 and i + 1 < n_steps:
@@ -147,6 +160,9 @@ def fit(
         ckpt_mgr.wait_until_finished()
     if best_mgr is not None:
         best_mgr.wait_until_finished()
+    if tb is not None:
+        tb.flush()
+        tb.close()
     if ckpt_dir is not None and history:
         # scalar history as JSONL next to the checkpoints (the role of the
         # reference's CSV logger, configs/experiment/train.yaml:218-228)

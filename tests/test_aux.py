@@ -223,3 +223,45 @@ def test_colmap_text_model_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(p2[3].xyz, pts[3].xyz)
     np.testing.assert_array_equal(p2[3].image_ids, pts[3].image_ids)
     assert p2[3].error == 0.73
+
+
+def test_tboard_event_file_format(tmp_path):
+    """The dependency-free TB writer produces valid TFRecord framing with
+    masked CRC32C and decodable scalar events."""
+    import struct
+
+    from onepose_st_tpu.utils import tboard
+
+    w = tboard.SummaryWriter(tmp_path)
+    w.add_scalar("train/loss", 1.5, 10)
+    w.add_scalars({"a": 2.0, "b": 3.0, "skip": "str"}, 20, prefix="x/")
+    w.close()
+    files = list(tmp_path.glob("events.out.tfevents.*"))
+    assert len(files) == 1
+    data = files[0].read_bytes()
+
+    events = []
+    off = 0
+    while off < len(data):
+        (length,) = struct.unpack_from("<Q", data, off)
+        (hcrc,) = struct.unpack_from("<I", data, off + 8)
+        assert hcrc == tboard._masked_crc(data[off:off + 8])
+        payload = data[off + 12: off + 12 + length]
+        (pcrc,) = struct.unpack_from("<I", data, off + 12 + length)
+        assert pcrc == tboard._masked_crc(payload)
+        events.append(payload)
+        off += 12 + length + 4
+    assert len(events) == 4  # file_version + 3 scalars
+
+    # first event carries file_version "brain.Event:2"
+    assert b"brain.Event:2" in events[0]
+    # scalar events carry their tags
+    assert b"train/loss" in events[1]
+    assert b"x/a" in events[2] and b"x/b" in events[3]
+    # decode simple_value of the first scalar: find the 4-byte float after
+    # the tag by scanning for field 2/wire 5 inside Summary.value
+    tag_idx = events[1].index(b"train/loss") + len(b"train/loss")
+    # next bytes: 0x15 (field 2, wire5) + float32
+    assert events[1][tag_idx] == 0x15
+    (val,) = struct.unpack_from("<f", events[1], tag_idx + 1)
+    assert abs(val - 1.5) < 1e-6
