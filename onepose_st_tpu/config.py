@@ -301,6 +301,10 @@ def load_model_config(ckpt_dir):
         "EngineConfig": EngineConfig,
         "TrackerConfig": TrackerConfig,
     }
+    if blob.get("kind") == "CalibConfig":
+        from .calib.model import CalibConfig
+
+        kinds["CalibConfig"] = CalibConfig
     cls = kinds.get(blob.get("kind"))
     if cls is None:
         raise ValueError(f"unknown config kind in {p}: {blob.get('kind')}")
