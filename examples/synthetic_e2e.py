@@ -79,6 +79,21 @@ def main():
     ap.add_argument("--tracker_preset", default="small",
                     choices=["tiny", "small", "full"],
                     help="TrackerConfig the ckpt was trained with")
+    ap.add_argument("--save_run", default=None,
+                    help="directory to save the built map + trained matcher "
+                         "(stage cache in the spirit of the reference's "
+                         "raw_matches.h5 / ckpt reuse)")
+    ap.add_argument("--reuse_run", default=None,
+                    help="directory from --save_run: skip map building and "
+                         "training, go straight to eval/refinement (the "
+                         "scene is re-rendered deterministically from "
+                         "--seed)")
+    ap.add_argument("--degrade_noise_px", type=float, default=0.0,
+                    help="add Gaussian pixel noise to the per-frame 2D "
+                         "matches of the --refine video pass (simulates a "
+                         "worse matcher, the reference's motivation for the "
+                         "CoTracker phase) so the temporal tracker's "
+                         "improvement is measurable")
     ap.add_argument("--eval_conf_thr", type=float, default=None,
                     help="override the coarse confidence threshold at eval "
                          "(mutual-NN + RANSAC tolerate low-conf matches; "
@@ -149,6 +164,23 @@ def main():
         jax.random.key(0), jnp.asarray(frames[:1, ..., None]),
         jnp.zeros((1, L, 3)), jnp.zeros((1, L, Cc)), jnp.zeros((1, L, Cf)),
     )
+
+    if args.reuse_run is not None:
+        import flax.serialization as ser
+
+        from onepose_st_tpu.sfm.map import SfMMap
+
+        sfm_map = SfMMap.load(str(Path(args.reuse_run) / "map.npz"))
+        with open(Path(args.reuse_run) / "matcher.msgpack", "rb") as f:
+            trained = ser.from_bytes(
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})},
+                f.read(),
+            )
+        print(f"reused map ({len(sfm_map.keypoints3d)} pts) + trained "
+              f"matcher from {args.reuse_run}")
+        return _evaluate(args, cfg, model, trained, sfm_map, scene, frames,
+                         eval_ids, rng)
 
     sample_desc = sfm_pipeline.make_descriptor_sampler(model, variables, frames)
 
@@ -228,7 +260,10 @@ def main():
     )
     print(
         f"map: {len(sfm_map.keypoints3d)} pts "
-        f"(tracks {diag.n_tracks}, BA {diag.ba_initial_cost:.3f} -> {diag.ba_final_cost:.3f})"
+        f"(tracks {diag.n_tracks}, tri {diag.n_triangulated}, "
+        f"BA {diag.ba_initial_cost:.3f} -> {diag.ba_final_cost:.3f}, "
+        f"mean reproj {diag.mean_reproj_err_px:.3f}px, "
+        f"mean track len {diag.mean_track_length:.1f})"
     )
 
     # --- training ----------------------------------------------------------
@@ -246,8 +281,36 @@ def main():
     )
     print(f"trained {args.steps} steps in {time.time()-t0:.1f}s")
 
-    # --- held-out inference + eval ----------------------------------------
     trained = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.save_run:
+        import flax.serialization as ser
+
+        out = Path(args.save_run)
+        out.mkdir(parents=True, exist_ok=True)
+        sfm_map.save(out / "map.npz")
+        with open(out / "matcher.msgpack", "wb") as f:
+            f.write(ser.to_bytes(trained))
+        from onepose_st_tpu import config as _cfg
+
+        _cfg.save_model_config(out, cfg)
+        print(f"saved run artifacts -> {out}")
+    return _evaluate(args, cfg, model, trained, sfm_map, scene, frames,
+                     eval_ids, rng)
+
+
+def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_st_tpu import config as cfg_lib
+    from onepose_st_tpu.core import so3
+    from onepose_st_tpu.infer.evaluate import evaluate_poses
+    from onepose_st_tpu.models import OnePoseMatcher
+    from onepose_st_tpu.solvers import ransac_pnp
+
+    L = cfg.matcher.n_points
+
+    # --- held-out inference + eval ----------------------------------------
     k, dc, df, s, mask = sfm_map.padded(L)
     eval_model = model
     if args.eval_conf_thr is not None:
@@ -310,6 +373,8 @@ def main():
             valid = np.asarray(out["matches"].valid[0])
             P3 = np.asarray(out["mkpts3d"][0])
             P2 = np.asarray(out["mkpts_query_f"][0])
+            if args.degrade_noise_px > 0:
+                P2 = P2 + rng.normal(size=P2.shape).astype(np.float32) * args.degrade_noise_px
             res = ransac_pnp(
                 jax.random.key(int(t)), jnp.asarray(P3), jnp.asarray(P2),
                 jnp.asarray(scene.Ks[t]), jnp.asarray(valid), cfg.pnp,
