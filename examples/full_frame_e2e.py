@@ -53,6 +53,14 @@ def main():
                          "instead of GT correspondences")
     ap.add_argument("--eval_conf_thr", type=float, default=None)
     ap.add_argument("--wander", type=float, default=0.12)
+    ap.add_argument("--ground_grid", action="store_true",
+                    help="render a gravity-aligned ground grid background "
+                         "(the calibration net's physical cues)")
+    ap.add_argument("--calib_ckpt", default=None,
+                    help="CalibNet checkpoint (examples/train_calib.py): "
+                         "additionally run inference with the INFERRED K "
+                         "(reference inference.py:121-123 infer_K) and "
+                         "report the AP delta vs ground-truth K")
     args = ap.parse_args()
 
     import jax
@@ -83,7 +91,9 @@ def main():
         object_size=0.2, wander=args.wander,
     )
     scene = wild.scene
-    frames_full = synthetic.render_wild_sequence(wild, rng, sigma_px=2.0)
+    frames_full = synthetic.render_wild_sequence(
+        wild, rng, sigma_px=2.0, ground_grid=args.ground_grid,
+    )
     eval_ids = np.arange(2, args.frames, 5)
     train_ids = np.setdiff1d(np.arange(args.frames), eval_ids)
     print(f"rendered {args.frames} full frames "
@@ -280,6 +290,39 @@ def main():
         K=scene.Ks[0], success=succ,
     )
     print("held-out full-frame pose metrics:", rep.row())
+
+    # --- optional: repeat inference with the calibration net's inferred K --
+    if args.calib_ckpt:
+        from onepose_st_tpu.calib.calibrate import infer_K
+        from onepose_st_tpu.calib.model import CalibNet
+        from onepose_st_tpu.train.loop import load_checkpoint
+
+        ccfg = cfg_lib.load_model_config(args.calib_ckpt)
+        calib_model = CalibNet(ccfg)
+        calib_vars = load_checkpoint(args.calib_ckpt)
+        sample_ids = eval_clean[:: max(1, len(eval_clean) // 12)]
+        rgb = (np.repeat(frames_eval[f][..., None], 3, axis=-1)
+               for f in sample_ids)
+        K_inf = infer_K(calib_model, calib_vars, rgb)
+        f_gt = scene.Ks[0][0, 0]
+        print(f"inferred K: f={K_inf[0, 0]:.1f}/{K_inf[1, 1]:.1f} px "
+              f"(GT {f_gt:.1f}; err "
+              f"{100 * abs(K_inf[1, 1] - f_gt) / f_gt:.1f}%)")
+        estimator.reset()
+        results_inf = []
+        for f in range(args.frames):
+            results_inf.append(estimator.estimate(
+                frames_eval[f], K_inf.astype(np.float32), frame_idx=f
+            ))
+        pred_T_inf = np.stack([results_inf[f].T44 for f in eval_clean])
+        succ_inf = np.asarray([results_inf[f].success for f in eval_clean])
+        rep_inf = evaluate_poses(
+            pred_T_inf, np.stack(gt_T), model_points=sfm_map.keypoints3d,
+            K=scene.Ks[0], success=succ_inf,
+        )
+        print("held-out metrics with INFERRED K:", rep_inf.row())
+        print(f"AP delta (3cm@3deg): GT-K {rep.aps['3cm@3degree']:.3f} -> "
+              f"inferred-K {rep_inf.aps['3cm@3degree']:.3f}")
 
 
 if __name__ == "__main__":

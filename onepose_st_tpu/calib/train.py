@@ -127,23 +127,26 @@ def perspective_calib_batch(
     batch: int,
     size: int = 224,
     noise: float = 0.02,
+    clutter: int = 60,
 ) -> CalibBatch:
     """Ground-grid renders whose geometry *exactly* encodes the targets.
 
-    A gravity-aligned checker/grid ground plane seen from a camera with
-    sampled (vfov -> focal, pitch -> rho, roll) — the same physical cues
-    (perspective foreshortening, horizon placement and tilt) that
-    DeepSingleImageCalibration learns from SUN360 crops, with ground truth
-    known in closed form instead of annotated. k1 is fixed at 0 (pinhole);
-    the reference's K inference (`data_utils._get_K:293-311`) uses only the
-    focal/vFoV heads, which is what the pose pipeline consumes.
+    A gravity-aligned grid ground plane (data.synthetic.
+    ground_grid_background — the SAME renderer used for wild-scene test
+    sequences, so the trained net is in-domain at inference) seen from a
+    camera with sampled (vfov -> focal, pitch -> rho, roll): the
+    perspective foreshortening, horizon placement and tilt are the physical
+    cues DeepSingleImageCalibration learns from SUN360 crops, with ground
+    truth known in closed form instead of annotated. Splat clutter plays
+    the role of scene content. k1 is fixed at 0 (pinhole); the reference's
+    K inference (`data_utils._get_K:293-311`) uses only the focal/vFoV
+    heads, which is what the pose pipeline consumes.
     """
-    import cv2
+    from ..data import synthetic
 
     H = W = size
     rolls = rng.uniform(-40.0, 40.0, size=batch)
     vfovs = rng.uniform(25.0, 100.0, size=batch)
-    pitches = np.zeros(batch)
     rhos = np.zeros(batch)
     imgs = np.zeros((batch, H, W, 3), np.float32)
     for b in range(batch):
@@ -151,17 +154,14 @@ def perspective_calib_batch(
         # sample rho uniformly in the valid bin range, derive pitch
         rho_raw = rng.uniform(-0.9, 0.9)
         pitch = math.atan(rho_raw * 0.35 * H / fy)
-        pitches[b] = pitch
         rhos[b] = rho_raw
         roll = math.radians(rolls[b])
 
-        # camera at height h over the plane y=0 (y points down -> plane
-        # below camera is y=+h_cam in world), looking ahead with pitch+roll
+        # world y points down (look_at convention); plane at y=+h below
+        # the camera; base forward +z, pitch about x, roll about optical axis
         h_cam = rng.uniform(1.2, 2.2)
         cp, sp = math.cos(pitch), math.sin(pitch)
         cr, sr = math.cos(roll), math.sin(roll)
-        # camera axes in world: base forward +z, up -y; pitch about x, then
-        # roll about the optical axis
         R_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
         R_roll = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
         R = R_roll @ R_pitch  # world->cam
@@ -169,52 +169,35 @@ def perspective_calib_batch(
         t = -R @ eye
         K = np.array([[fy, 0, W / 2], [0, fy, H / 2], [0, 0, 1]])
 
-        img = np.zeros((H, W, 3), np.float32)
-        # sky gradient (above horizon) keyed to camera-frame up direction
-        ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
-        # horizon: image of the plane's line at infinity: y-cam of direction
-        # (x, 0, z): points with depth->inf project to K [R (dx,0,dz)]
-        # sky mask = pixels whose backprojected ray never hits the plane
-        d_cam = np.stack(
-            [(xs - W / 2) / fy, (ys - H / 2) / fy, np.ones_like(xs)], -1
+        img = synthetic.ground_grid_background(
+            R, t, K, (H, W), plane_y=0.0,
+            grid_step=rng.uniform(0.8, 1.4),
+            line_shade=rng.uniform(0.6, 0.95),
         )
-        d_world_y = d_cam @ R[:, 1]  # R^T row -> world y of ray direction
-        sky = d_world_y < 0
-        img[..., 0] = np.where(sky, 0.45, 0.30)
-        img[..., 1] = np.where(sky, 0.62, 0.25)
-        img[..., 2] = np.where(sky, 0.92, 0.20)
-
-        # grid lines on the plane: x = i*s and z = j*s, y = 0
-        s_grid = rng.uniform(0.8, 1.4)
-        shade = rng.uniform(0.6, 1.0)
-
-        def draw_seg(p0, p1):
-            pts = np.stack([p0, p1])
-            pc = pts @ R.T + t
-            if (pc[:, 2] < 0.05).all():
-                return
-            # clip to z>=0.05 along the segment
-            if pc[0, 2] < 0.05 or pc[1, 2] < 0.05:
-                a, bb = (pc[0], pc[1]) if pc[0, 2] >= 0.05 else (pc[1], pc[0])
-                lam = (0.05 - a[2]) / (bb[2] - a[2])
-                bb = a + lam * (bb - a)
-                pc = np.stack([a, bb])
-            uv = (pc @ K.T)
-            uv = uv[:, :2] / uv[:, 2:]
-            cv2.line(
-                img,
-                (int(round(uv[0, 0])), int(round(uv[0, 1]))),
-                (int(round(uv[1, 0])), int(round(uv[1, 1]))),
-                (0.85 * shade, 0.8 * shade, 0.75 * shade), 1, cv2.LINE_AA,
+        if clutter > 0:
+            # splat clutter scattered in front of the camera
+            pts = np.stack([
+                rng.uniform(-3, 3, clutter),
+                rng.uniform(-1.5, 0.5, clutter) - h_cam * 0,
+                rng.uniform(0.5, 6.0, clutter),
+            ], axis=1)
+            pc = pts  # already expressed in a camera-ish frame; project raw
+            uv = pc @ K.T
+            depth = pc[:, 2]
+            uvp = uv[:, :2] / np.clip(uv[:, 2:], 1e-6, None)
+            vis = (depth > 0.1) & (uvp[:, 0] > 0) & (uvp[:, 0] < W) \
+                & (uvp[:, 1] > 0) & (uvp[:, 1] < H)
+            amps = rng.uniform(0.2, 1.0, clutter).astype(np.float32)
+            img = synthetic.splat_image(
+                uvp.astype(np.float32), depth.astype(np.float32), vis, amps,
+                (H, W), sigma_px=rng.uniform(1.5, 3.0), background=img,
             )
-
-        ext = 40.0
-        for i in range(-int(ext / s_grid), int(ext / s_grid) + 1):
-            draw_seg(np.array([i * s_grid, 0, -ext]), np.array([i * s_grid, 0, ext]))
-            draw_seg(np.array([-ext, 0, i * s_grid]), np.array([ext, 0, i * s_grid]))
         if noise > 0:
-            img = img + rng.normal(size=img.shape).astype(np.float32) * noise
-        imgs[b] = np.clip(img, 0, 1)
+            img = np.clip(
+                img + rng.normal(size=img.shape).astype(np.float32) * noise,
+                0, 1,
+            )
+        imgs[b] = img[..., None]  # grayscale replicated to RGB
     return CalibBatch(
         image=imgs, roll_deg=rolls, rho=rhos, vfov_deg=vfovs,
         k1_hat=np.zeros(batch),

@@ -152,7 +152,7 @@ def splat_image(
     point_amps: np.ndarray,
     image_hw: tuple[int, int],
     sigma_px: float = 2.5,
-    background: float = 0.15,
+    background: float | np.ndarray = 0.15,
 ) -> np.ndarray:
     """Gaussian-splat rendering of arbitrary projected points into one view.
 
@@ -163,7 +163,10 @@ def splat_image(
     order (far to near) gives correct occlusion between point sets.
     """
     H, W = image_hw
-    img = np.full((H, W), background, np.float32)
+    if np.ndim(background) == 0:
+        img = np.full((H, W), background, np.float32)
+    else:
+        img = np.array(background, np.float32, copy=True)
     order = np.argsort(-depth)  # far to near: near splats overwrite
     ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
     for p in order:
@@ -289,14 +292,89 @@ def make_wild_scene(
     )
 
 
+def ground_grid_background(
+    R: np.ndarray,
+    t: np.ndarray,
+    K: np.ndarray,
+    image_hw: tuple[int, int],
+    plane_y: float = 0.45,
+    grid_step: float = 1.0,
+    line_shade: float = 0.8,
+    sky: float = 0.55,
+    ground: float = 0.25,
+) -> np.ndarray:
+    """Grayscale gravity-aligned ground-grid + horizon background.
+
+    World convention: y points down (look_at up=(0,-1,0)); the plane sits at
+    y=plane_y below the object. The horizon placement/tilt and the grid's
+    perspective foreshortening encode the camera's intrinsics + gravity
+    orientation exactly — the physical cues single-image calibration learns
+    (calib/train.perspective_calib_batch uses this same renderer, so the
+    trained net is in-domain on wild-scene sequences rendered with
+    ground_grid=True).
+    """
+    import cv2
+
+    H, W = image_hw
+    fy = K[1, 1]
+    fx = K[0, 0]
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    d_cam = np.stack(
+        [(xs - K[0, 2]) / fx, (ys - K[1, 2]) / fy, np.ones_like(xs)], -1
+    )
+    d_world_y = d_cam @ R[:, 1]
+    img = np.where(d_world_y < 0, sky, ground).astype(np.float32)
+
+    cam_y = (np.linalg.inv(R) @ -t)[1]
+    if cam_y >= plane_y:  # camera below the plane: no grid visible
+        return img
+
+    def draw_seg(p0, p1):
+        pts = np.stack([p0, p1])
+        pc = pts @ R.T + t
+        if (pc[:, 2] < 0.05).all():
+            return
+        if pc[0, 2] < 0.05 or pc[1, 2] < 0.05:
+            a, b = (pc[0], pc[1]) if pc[0, 2] >= 0.05 else (pc[1], pc[0])
+            lam = (0.05 - a[2]) / (b[2] - a[2])
+            b = a + lam * (b - a)
+            pc = np.stack([a, b])
+        uv = pc @ K.T
+        uv = uv[:, :2] / uv[:, 2:]
+        cv2.line(
+            img,
+            (int(round(uv[0, 0])), int(round(uv[0, 1]))),
+            (int(round(uv[1, 0])), int(round(uv[1, 1]))),
+            float(line_shade), 1, cv2.LINE_AA,
+        )
+
+    ext = 40.0
+    n = int(ext / grid_step)
+    for i in range(-n, n + 1):
+        draw_seg(
+            np.array([i * grid_step, plane_y, -ext]),
+            np.array([i * grid_step, plane_y, ext]),
+        )
+        draw_seg(
+            np.array([-ext, plane_y, i * grid_step]),
+            np.array([ext, plane_y, i * grid_step]),
+        )
+    return img
+
+
 def render_wild_sequence(
     wild: WildScene,
     rng: np.random.Generator,
     sigma_px: float = 2.0,
     background: float = 0.15,
     noise: float = 0.01,
+    ground_grid: bool = False,
 ) -> np.ndarray:
-    """Render full frames: object + background splats, correct occlusion."""
+    """Render full frames: object + background splats, correct occlusion.
+
+    ground_grid=True composites the splats over a gravity-aligned grid
+    background (ground_grid_background) so single-image calibration has its
+    physical cues in-frame (reference inference.py:121-123 infer_K path)."""
     scene = wild.scene
     n_obj = len(scene.points)
     amps = rng.uniform(0.3, 1.0, size=n_obj + len(wild.bg_points)).astype(
@@ -307,9 +385,17 @@ def render_wild_sequence(
         uv = np.concatenate([scene.uv[f], wild.bg_uv[f]])
         depth = np.concatenate([scene.depth[f], wild.bg_depth[f]])
         vis = np.concatenate([scene.visible[f], wild.bg_visible[f]])
+        bg = background
+        if ground_grid:
+            bg = ground_grid_background(
+                np.asarray(scene.Rs[f], np.float64),
+                np.asarray(scene.ts[f], np.float64),
+                np.asarray(scene.Ks[f], np.float64),
+                scene.image_hw,
+            )
         img = splat_image(
             uv, depth, vis, amps, scene.image_hw,
-            sigma_px=sigma_px, background=background,
+            sigma_px=sigma_px, background=bg,
         )
         if noise > 0:
             img = np.clip(
