@@ -16,8 +16,15 @@ import time
 import numpy as np
 
 PEAK_FLOPS = {
-    "v5e": 394e12,  # bf16
+    # nominal bf16 peak per chip; matched as substrings of device_kind,
+    # most-specific first (dict order is the match order)
+    "v6e": 918e12,
+    "v5e": 394e12,
+    "v5p": 459e12,
     "v5": 394e12,
+    "v4": 275e12,
+    "v3": 123e12,  # bf16
+    "v2": 46e12,
     "cpu": 1e12,    # nominal, for CPU smoke runs
 }
 

@@ -355,6 +355,26 @@ def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids, rng):
     )
     print("held-out pose metrics:", rep.row())
 
+    if args.save_run:
+        # browsable 3D artifact (wis3d analogue): map + GT/pred eval cameras
+        from onepose_st_tpu.utils.scene3d import SceneDump
+
+        dump = SceneDump()
+        dump.add_points("map", sfm_map.keypoints3d, (180, 180, 180))
+        hw = frames.shape[1:3]
+        for i, t in enumerate(eval_ids):
+            dump.add_camera(f"gt_{t}", gt_T[i], scene.Ks[t], hw,
+                            scale=0.04, color=(15, 157, 88))
+            dump.add_camera(f"pred_{t}", pred_T[i], scene.Ks[t], hw,
+                            scale=0.04, color=(219, 68, 55))
+        dump.add_trajectory(
+            "gt_traj",
+            np.stack([-G[:3, :3].T @ G[:3, 3] for G in gt_T]),
+            color=(66, 133, 244),
+        )
+        out = dump.save(Path(args.save_run) / "scene3d")
+        print(f"3D scene dump: {out}/viewer.html")
+
     # --- optional temporal refinement over the full orbit as a video ------
     if args.refine != "none":
         from onepose_st_tpu.infer.pipeline import FrameResult

@@ -77,6 +77,7 @@ def test_calibnet_forward(rng):
         )
 
 
+@pytest.mark.slow
 def test_calib_quickfit(rng):
     from onepose_st_tpu.calib.train import fit_calib, synthetic_calib_batch
 
@@ -109,6 +110,7 @@ def test_infer_K_average(rng):
     assert K[0, 0] > 0 and K[1, 1] > 0
 
 
+@pytest.mark.slow
 def test_layercam(rng):
     import jax
 

@@ -54,6 +54,7 @@ def test_detector_self_query(rng):
     assert abs(cx - 32) < 6 and abs(cy - 32) < 6
 
 
+@pytest.mark.slow
 def test_previous_pose_detect_projects_box(rng):
     det, _ = make_detector(rng)
     corners = np.asarray(camera.box3d_corners(jnp.asarray([0.2, 0.2, 0.2])))
@@ -70,6 +71,7 @@ def test_previous_pose_detect_projects_box(rng):
     np.testing.assert_allclose(c[:2], [32.0, 32.0], atol=0.05)
 
 
+@pytest.mark.slow
 def test_tracker_recovers_translation(rng):
     """Shifted texture: chained correlation tracking must recover the shift."""
     cfg = small_matcher_cfg()

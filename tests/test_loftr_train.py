@@ -143,6 +143,7 @@ def test_loftr_train_learns():
     assert stats["precision"] > 0.5, stats
 
 
+@pytest.mark.slow
 def test_loftr_coarse_fine_methods_consistent():
     """coarse()+fine() compose to the same outputs as __call__."""
     import jax

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 from onepose_st_tpu.config import PnPConfig
@@ -159,6 +160,7 @@ def test_pnp_80pct_outliers(rng):
     assert r_err < 1.0 and t_err < 1.0
 
 
+@pytest.mark.slow
 def test_pnp_solvers_agree_low_outliers(rng):
     """dlt / p3p / mixed all nail the easy regime."""
     import dataclasses

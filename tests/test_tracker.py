@@ -136,6 +136,7 @@ def test_tracker_beats_identity_baseline(rng):
     assert epe < 0.8 * base_epe, (epe, base_epe)
 
 
+@pytest.mark.slow
 def test_refine_sequence_learned_backend(rng):
     """refine_sequence runs with the learned backend and never replaces a
     gated per-frame pose with a weaker consensus (untrained weights =>
@@ -198,6 +199,7 @@ def test_refine_sequence_learned_backend(rng):
         assert r_err < 1.0 and t_err < 1.0, (f, r_err, t_err)
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip(tmp_path, rng):
     from onepose_st_tpu.infer.tracker import LearnedTemporalTracker
 

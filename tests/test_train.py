@@ -306,6 +306,7 @@ def test_fit_with_validation_hook(tmp_path, rng):
     assert best["step"] == 6 and abs(best["metric"] - 0.3) < 1e-9
 
 
+@pytest.mark.slow
 def test_train_cli_val_fn(rng):
     """_make_val_fn: matcher -> PnP -> pose APs on tiny shapes."""
     from onepose_st_tpu.cli.train_matcher import _make_val_fn
