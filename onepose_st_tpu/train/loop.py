@@ -110,11 +110,21 @@ def fit(
 
     def run_val(step):
         metrics = val_fn(state)
-        rec = {f"val/{k}": float(v) for k, v in metrics.items()}
+        # val_fn may return figures (HxW[xC] arrays) alongside scalars —
+        # the reference logs both (lightning_model:141-157)
+        figs = {
+            k: v for k, v in metrics.items()
+            if getattr(v, "ndim", 0) >= 2
+        }
+        rec = {
+            f"val/{k}": float(v) for k, v in metrics.items() if k not in figs
+        }
         rec["step"] = step
         history.append(rec)
         if tb is not None:
             tb.add_scalars(rec, step)
+            for k, v in figs.items():
+                tb.add_image(f"val/{k}", v, step)
         if log_fn:
             log_fn(step, rec)
         m = metrics.get(select_metric)

@@ -5,9 +5,9 @@ The reference logs training scalars/figures to TensorBoard via Lightning
 optional W&B callbacks; this environment has neither tensorboard nor wandb
 installed, so this module writes TensorBoard's on-disk format directly —
 TFRecord-framed `Event` protobufs with masked CRC32C checksums — which any
-stock TensorBoard install can read. Scalars only (the format's `Summary.
-simple_value`), which covers the reference's scalar usage; figures remain
-with utils/viz.py artifacts.
+stock TensorBoard install can read. Scalars (`Summary.simple_value`) and
+PNG image summaries (`Summary.Image`), covering the reference's scalar and
+figure logging.
 """
 from __future__ import annotations
 
@@ -104,6 +104,31 @@ class SummaryWriter:
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         self._write(_event(int(step), tag, float(value)))
+
+    def add_image(self, tag: str, image, step: int) -> None:
+        """Log an image summary. `image` is [H, W] or [H, W, {1,3,4}],
+        uint8 or float in [0, 1] (grayscale inputs render as grayscale)."""
+        import cv2
+        import numpy as np
+
+        img = np.asarray(image)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w, c = img.shape
+        # cv2 encodes BGR(A); our convention is RGB(A)
+        bgr = img if c == 1 else img[:, :, [2, 1, 0] + ([3] if c == 4 else [])]
+        ok, png = cv2.imencode(".png", bgr)
+        if not ok:  # pragma: no cover - imencode failure is environmental
+            raise RuntimeError("PNG encode failed")
+        # Summary.Image: 1 height, 2 width, 3 colorspace, 4 encoded bytes
+        im_msg = (_int64(1, h) + _int64(2, w) + _int64(3, c)
+                  + _len_delim(4, png.tobytes()))
+        sval = _len_delim(1, tag.encode()) + _len_delim(4, im_msg)
+        ev = (_double(1, time.time()) + _int64(2, int(step))
+              + _len_delim(5, _len_delim(1, sval)))
+        self._write(ev)
 
     def add_scalars(self, scalars: dict, step: int, prefix: str = "") -> None:
         for k, v in scalars.items():

@@ -265,3 +265,50 @@ def test_tboard_event_file_format(tmp_path):
     assert events[1][tag_idx] == 0x15
     (val,) = struct.unpack_from("<f", events[1], tag_idx + 1)
     assert abs(val - 1.5) < 1e-6
+
+
+def test_tboard_image_event(tmp_path):
+    """Image summaries: PNG-encoded, decodable, RGB preserved."""
+    import struct
+
+    import cv2
+
+    from onepose_st_tpu.utils import tboard
+
+    img = np.zeros((8, 12, 3), np.uint8)
+    img[:, :, 0] = 200  # red in RGB convention
+    gray = np.linspace(0, 1, 8 * 12).reshape(8, 12).astype(np.float32)
+
+    w = tboard.SummaryWriter(tmp_path)
+    w.add_image("val/fig", img, 5)
+    w.add_image("val/gray", gray, 5)
+    w.close()
+    data = list(tmp_path.glob("events.out.tfevents.*"))[0].read_bytes()
+
+    events = []
+    off = 0
+    while off < len(data):
+        (length,) = struct.unpack_from("<Q", data, off)
+        payload = data[off + 12: off + 12 + length]
+        events.append(payload)
+        off += 12 + length + 4
+    assert len(events) == 3  # file_version + 2 images
+    assert b"val/fig" in events[1]
+
+    # extract the embedded PNG and decode it: red must come back red
+    png_magic = b"\x89PNG"
+    start = events[1].find(png_magic)
+    assert start > 0
+    decoded = cv2.imdecode(
+        np.frombuffer(events[1][start:], np.uint8), cv2.IMREAD_COLOR
+    )  # BGR
+    assert decoded.shape == (8, 12, 3)
+    assert decoded[0, 0, 2] == 200 and decoded[0, 0, 0] == 0
+
+    # grayscale float input: single-channel PNG, scaled to uint8
+    start = events[2].find(png_magic)
+    g = cv2.imdecode(
+        np.frombuffer(events[2][start:], np.uint8), cv2.IMREAD_UNCHANGED
+    )
+    assert g.shape == (8, 12)
+    assert g[0, 0] == 0 and int(g[-1, -1]) == 255
