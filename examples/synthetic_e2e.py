@@ -452,6 +452,10 @@ def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids, rng):
         gt_sel = np.stack([gt_all[f] for f in sel])
         rep_b = evaluate_poses(base_T, gt_sel, model_points=sfm_map.keypoints3d, K=scene.Ks[0])
         rep_r = evaluate_poses(ref_T, gt_sel, model_points=sfm_map.keypoints3d, K=scene.Ks[0])
+        n_gated = sum(1 for r in refined if r.gated is True)
+        n_acc = sum(1 for r in refined if r.gated is False)
+        print(f"drift gate: accepted {n_acc}, rejected {n_gated} "
+              f"(of {len(sel)} attempted)")
         print("video pass  (per-frame):", rep_b.row())
         print("video pass  (refined):  ", rep_r.row())
 

@@ -262,6 +262,9 @@ class RefinedResult(NamedTuple):
     T44: np.ndarray
     n_inliers: int
     used_tracks: int
+    # None: refinement not attempted (warm-up window / failed base pose);
+    # True: the drift gate rejected the refined pose and kept the base one
+    gated: bool | None = None
 
 
 def _window_track_pnp(
@@ -397,7 +400,8 @@ def refine_sequence(
     for t in range(T):
         base = results[t]
         if t < W - 1 or not base.success:
-            out.append(RefinedResult(base.pose6, base.T44, base.n_inliers, 0))
+            out.append(RefinedResult(base.pose6, base.T44, base.n_inliers, 0,
+                                     gated=None))
             continue
         srcs = list(range(t - W + 1, t))
         uv0 = np.concatenate([uv_buf[s] for s in srcs])
@@ -444,12 +448,13 @@ def refine_sequence(
         if ok and int(n_own_ref_d) < 0.8 * int(n_own_base_d):
             ok = False
         if not ok:
-            out.append(RefinedResult(base.pose6, base.T44, base.n_inliers, 0))
+            out.append(RefinedResult(base.pose6, base.T44, base.n_inliers, 0,
+                                     gated=True))
             continue
         pose6 = np.asarray(pose6_d)
         R, tr = so3.pose6_to_Rt(jnp.asarray(pose6))
         T44 = np.eye(4, dtype=np.float32)
         T44[:3, :3] = np.asarray(R)
         T44[:3, 3] = np.asarray(tr)
-        out.append(RefinedResult(pose6, T44, n_inl, int(used_d)))
+        out.append(RefinedResult(pose6, T44, n_inl, int(used_d), gated=False))
     return out
