@@ -110,6 +110,10 @@ def main():
                     help="LoFTRConfig the --loftr_ckpt was trained with")
     ap.add_argument("--loftr_conf_thr", type=float, default=None,
                     help="override the 2D-2D coarse confidence threshold")
+    ap.add_argument("--fine_refine", action="store_true",
+                    help="with --loftr_ckpt: fine-only re-refinement of "
+                         "track observations before triangulation/BA (the "
+                         "reference's post-optimization fine_matcher pass)")
     ap.add_argument("--covis_num", type=int, default=10,
                     help="pose-covisibility pairs per image (sfm_demo.yaml)")
     ap.add_argument("--min_rotation", type=float, default=10.0,
@@ -254,9 +258,16 @@ def main():
                 np.ones(len(ids), np.float32),
             ))
     corners = np.asarray(camera.box3d_corners(jnp.asarray([0.3, 0.3, 0.3])))
+    refine_obs = None
+    if args.fine_refine:
+        assert args.loftr_ckpt, "--fine_refine needs --loftr_ckpt"
+        refine_obs = lambda a: sfm_pipeline.refine_track_observations(
+            loftr, lvars, frames, a, batch_pairs=args.batch,
+        )
     sfm_map, diag = sfm_pipeline.build_map_from_matches(
         pms, scene.poses, scene.Ks, cfg, box_corners=corners,
         sample_descriptors=sample_desc, desc_dims=(Cc, Cf),
+        refine_observations=refine_obs,
     )
     print(
         f"map: {len(sfm_map.keypoints3d)} pts "
