@@ -88,6 +88,18 @@ def main():
                          "training, go straight to eval/refinement (the "
                          "scene is re-rendered deterministically from "
                          "--seed)")
+    ap.add_argument("--tracker_vis_thr", type=float, default=0.5,
+                    help="visibility-probability gate for learned-tracker "
+                         "points entering the union PnP")
+    ap.add_argument("--degrade_keep_n", type=int, default=0,
+                    help="keep only N random valid matches per frame in the "
+                         "video pass (starves per-frame PnP — the scenario "
+                         "temporal refinement exists for)")
+    ap.add_argument("--degrade_only_eval", action="store_true",
+                    help="apply the degradations only to held-out frames: "
+                         "the reference's intermittent-failure scenario "
+                         "(momentary blur/occlusion) — neighboring clean "
+                         "frames feed good tracks into the degraded ones")
     ap.add_argument("--degrade_noise_px", type=float, default=0.0,
                     help="add Gaussian pixel noise to the per-frame 2D "
                          "matches of the --refine video pass (simulates a "
@@ -395,6 +407,7 @@ def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids, rng):
 
         t0 = time.time()
         results, gt_all = [], []
+        eval_set = {int(e) for e in eval_ids}
         for t in range(args.frames):
             out = apply(
                 trained, jnp.asarray(frames[t][None, ..., None]),
@@ -404,8 +417,17 @@ def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids, rng):
             valid = np.asarray(out["matches"].valid[0])
             P3 = np.asarray(out["mkpts3d"][0])
             P2 = np.asarray(out["mkpts_query_f"][0])
-            if args.degrade_noise_px > 0:
+            degrade_this = (not args.degrade_only_eval) or (t in eval_set)
+            if args.degrade_noise_px > 0 and degrade_this:
                 P2 = P2 + rng.normal(size=P2.shape).astype(np.float32) * args.degrade_noise_px
+            if args.degrade_keep_n > 0 and degrade_this:
+                ids = np.nonzero(valid)[0]
+                if len(ids) > args.degrade_keep_n:
+                    drop = rng.choice(
+                        ids, len(ids) - args.degrade_keep_n, replace=False
+                    )
+                    valid = valid.copy()
+                    valid[drop] = False
             res = ransac_pnp(
                 jax.random.key(int(t)), jnp.asarray(P3), jnp.asarray(P2),
                 jnp.asarray(scene.Ks[t]), jnp.asarray(valid), cfg.pnp,
@@ -446,7 +468,9 @@ def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids, rng):
                 tcfg = cfg_lib.adapt_dtypes(tcfg)
             else:
                 tcfg = tt.build_cfg(args.tracker_preset)
-            tracker = LearnedTemporalTracker.load(tcfg, args.tracker_ckpt)
+            tracker = LearnedTemporalTracker.load(
+                tcfg, args.tracker_ckpt, vis_threshold=args.tracker_vis_thr
+            )
             window = tracker.cfg.window
         else:
             tracker = TemporalTracker(model, trained)
@@ -469,6 +493,14 @@ def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids, rng):
               f"(of {len(sel)} attempted)")
         print("video pass  (per-frame):", rep_b.row())
         print("video pass  (refined):  ", rep_r.row())
+        ho = np.array([int(f) in eval_set for f in sel])
+        if ho.any():
+            rep_bh = evaluate_poses(base_T[ho], gt_sel[ho],
+                                    model_points=sfm_map.keypoints3d, K=scene.Ks[0])
+            rep_rh = evaluate_poses(ref_T[ho], gt_sel[ho],
+                                    model_points=sfm_map.keypoints3d, K=scene.Ks[0])
+            print("held-out    (per-frame):", rep_bh.row())
+            print("held-out    (refined):  ", rep_rh.row())
 
 
 if __name__ == "__main__":

@@ -399,10 +399,15 @@ def refine_sequence(
     out: list[RefinedResult] = []
     for t in range(T):
         base = results[t]
-        if t < W - 1 or not base.success:
+        if t < W - 1:
             out.append(RefinedResult(base.pose6, base.T44, base.n_inliers, 0,
                                      gated=None))
             continue
+        # NOTE: a frame whose own PnP FAILED is still attempted — the tracked
+        # window points are exactly what can rescue it (reference CoTracker
+        # phase runs on every frame past temp_thresh, inference.py:256-336).
+        # The own-support gate stays sound: a failed base explains few of its
+        # own matches, so the 0.8x bar is easy for a genuinely better pose.
         srcs = list(range(t - W + 1, t))
         uv0 = np.concatenate([uv_buf[s] for s in srcs])
         trk3d = np.concatenate([p3_buf[s] for s in srcs])
@@ -445,7 +450,14 @@ def refine_sequence(
         #      a horde of coherently drifted tracks can out-vote the own
         #      inliers in RANSAC, and this is the check that catches it.
         ok = bool(success_d) and n_inl >= cfg.pnp.min_inliers
-        if ok and int(n_own_ref_d) < 0.8 * int(n_own_base_d):
+        # Gate 2 is skipped under overwhelming independent consensus: the
+        # own matches the base pose was FIT to can be the degraded quantity
+        # (momentary blur/occlusion) — a base overfit to its own noise always
+        # "explains" them better than the true pose, which would veto every
+        # rescue. 2x the base's inlier count across the window's
+        # independently-tracked points is evidence the base cannot match.
+        strong = n_inl >= 2 * max(base.n_inliers, cfg.pnp.min_inliers)
+        if ok and not strong and int(n_own_ref_d) < 0.8 * int(n_own_base_d):
             ok = False
         if not ok:
             out.append(RefinedResult(base.pose6, base.T44, base.n_inliers, 0,
