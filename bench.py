@@ -17,11 +17,17 @@ import numpy as np
 
 PEAK_FLOPS = {
     # nominal bf16 peak per chip; matched as substrings of device_kind,
-    # most-specific first (dict order is the match order)
+    # most-specific first (dict order is the match order). Real JAX
+    # device_kind spellings: v5e reports "TPU v5 lite", v5p reports
+    # "TPU v5", v6e/Trillium reports "TPU v6 lite" (hence explicit
+    # "lite" keys BEFORE the bare-version keys).
+    "v6 lite": 918e12,  # v6e (Trillium)
     "v6e": 918e12,
+    "v6": 918e12,
+    "v5 lite": 394e12,  # v5e
     "v5e": 394e12,
     "v5p": 459e12,
-    "v5": 394e12,
+    "v5": 459e12,       # bare "TPU v5" is v5p
     "v4": 275e12,
     "v3": 123e12,  # bf16
     "v2": 46e12,
@@ -34,6 +40,12 @@ def _peak_flops(device) -> float:
     for key, val in PEAK_FLOPS.items():
         if key in kind:
             return val
+    if getattr(device, "platform", "cpu") == "tpu":
+        print(
+            f"WARNING: unknown TPU device_kind {kind!r}; falling back to the "
+            "CPU peak figure — utilization numbers will be meaningless",
+            file=sys.stderr,
+        )
     return PEAK_FLOPS["cpu"]
 
 
@@ -55,7 +67,10 @@ def _achievable_flops() -> float:
     import jax.numpy as jnp
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    n, reps = (4096, 8) if on_tpu else (1024, 4)
+    # reps amortize the one host sync per timed call: over the tunnel the
+    # device->host scalar fetch costs ~10 ms RTT, which at 8 reps (~10 ms
+    # of GEMM work) halves the apparent rate — 64 reps push that below 5%.
+    n, reps = (4096, 64) if on_tpu else (1024, 4)
     dt_ = jnp.bfloat16 if on_tpu else jnp.float32
     a = jnp.ones((n, n), dt_)
     b = jnp.ones((n, n), dt_)
@@ -68,26 +83,52 @@ def _achievable_flops() -> float:
         return jax.lax.fori_loop(0, reps, body, a)
 
     float(jnp.sum(gemm_loop(a, b).astype(jnp.float32)))  # compile+warm
-    t0 = time.perf_counter()
-    out = gemm_loop(a, b)
-    float(jnp.sum(out.astype(jnp.float32)))
-    dt = time.perf_counter() - t0
-    _ACHIEVABLE = (2 * n**3 * reps) / dt
+    # Median of 5 timed runs: a single shot over the tunnel swings up to 3x
+    # run-to-run (BENCH_r02 measured 34 TF/s vs EXPERIMENTS.md's 102 TF/s
+    # for the same probe), which produced a self-contradictory roofline.
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = gemm_loop(a, b)
+        float(jnp.sum(out.astype(jnp.float32)))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    ach = (2 * n**3 * reps) / dt
+    # Sanity bound: a measured GEMM cannot beat the chip's nominal peak.
+    peak = _peak_flops(jax.devices()[0])
+    _ACHIEVABLE = min(ach, peak)
     return _ACHIEVABLE
 
 
 def _roofline(flops: float, dt: float) -> dict:
-    """vs_baseline (nominal peak) + vs_achievable (measured GEMM ceiling)."""
+    """vs_baseline (nominal peak) + vs_achievable (measured GEMM ceiling).
+
+    The calibration value itself is persisted into the JSON
+    (achievable_tflops) so the roofline is auditable from the artifact. If
+    a real workload measures faster than the GEMM probe, the probe run was
+    the bad sample — the ceiling is raised to the workload's own rate
+    (recorded via calib_raised) so vs_achievable <= 1 by construction.
+    """
+    global _ACHIEVABLE
     import jax
 
     peak = _peak_flops(jax.devices()[0])
     rate = flops / dt if np.isfinite(flops) and flops > 0 else 0.0
     ach = _achievable_flops()
-    return {
+    raised = False
+    if rate > ach:
+        _ACHIEVABLE = ach = min(rate, peak)
+        raised = True
+    out = {
         "tflops": round(rate / 1e12, 2),
         "vs_baseline": round(rate / peak, 4),
         "vs_achievable": round(rate / ach, 4) if ach > 0 else 0.0,
+        "achievable_tflops": round(ach / 1e12, 2),
     }
+    if raised:
+        out["calib_raised"] = True
+    assert out["vs_achievable"] <= 1.05, out
+    return out
 
 
 def _cost_flops(compiled) -> float:

@@ -5,9 +5,11 @@ ESTIMATION loop): detect (or track via the previous pose), crop, run the
 2D-3D matcher against the SfM map, RANSAC-PnP, and re-detect when the
 inlier count collapses (<min_inliers, reference inference.py:150-173).
 
-The device work per frame is two jitted programs (matcher forward, PnP);
-state machine and cropping stay on host. Temporal refinement lives in
-infer/tracker.py.
+The device work per frame is ONE fused jitted program (matcher forward +
+RANSAC PnP in a single dispatch — match tensors never leave the device;
+fusing the two programs saved ~29 ms/frame of dispatch+transfer over the
+tunnel, EXPERIMENTS.md roofline notes); the detect/track state machine
+and cropping stay on host. Temporal refinement lives in infer/tracker.py.
 """
 from __future__ import annotations
 

@@ -450,13 +450,19 @@ def refine_sequence(
         #      a horde of coherently drifted tracks can out-vote the own
         #      inliers in RANSAC, and this is the check that catches it.
         ok = bool(success_d) and n_inl >= cfg.pnp.min_inliers
-        # Gate 2 is skipped under overwhelming independent consensus: the
-        # own matches the base pose was FIT to can be the degraded quantity
-        # (momentary blur/occlusion) — a base overfit to its own noise always
-        # "explains" them better than the true pose, which would veto every
-        # rescue. 2x the base's inlier count across the window's
-        # independently-tracked points is evidence the base cannot match.
-        strong = n_inl >= 2 * max(base.n_inliers, cfg.pnp.min_inliers)
+        # Gate 2 is skipped under overwhelming independent consensus, but
+        # ONLY when the base is demonstrably degraded (failed PnP or a
+        # near-floor inlier count): the own matches the base pose was FIT
+        # to can be the degraded quantity (momentary blur/occlusion) — a
+        # base overfit to its own noise always "explains" them better than
+        # the true pose, which would veto every rescue. On a weak-but-
+        # healthy frame the union's tracked points (up to (W-1)*max_pts, a
+        # coherently drifted horde) could clear a 2x bar cheaply, so the
+        # override is gated on base degradation first.
+        degraded = (not base.success) or (
+            base.n_inliers < 3 * cfg.pnp.min_inliers
+        )
+        strong = degraded and n_inl >= 2 * max(base.n_inliers, cfg.pnp.min_inliers)
         if ok and not strong and int(n_own_ref_d) < 0.8 * int(n_own_base_d):
             ok = False
         if not ok:

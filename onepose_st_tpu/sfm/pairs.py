@@ -33,29 +33,63 @@ def pairs_from_poses(
     ts: np.ndarray,
     covis_num: int = 10,
     min_rotation_deg: float = 10.0,
+    seq_ids: np.ndarray | None = None,
+    block: int = 256,
 ) -> np.ndarray:
     """Pose-covisibility pairs (reference pairs_from_poses.py:6-69).
 
     For each image: candidates with relative rotation > min_rotation_deg,
-    ranked by camera-center distance, keep the covis_num nearest.
+    ranked by camera-center distance, keep the covis_num nearest. With
+    `seq_ids` (per-frame sequence label, [n] ints) the budget is split
+    per sequence — quota = covis_num // n_seqs nearest valid candidates
+    from EACH sequence (reference covis_from_pose's num_matched_per_seq),
+    so one densely-sampled scan cannot soak up the whole budget.
+
+    Memory: blockwise over query rows. trace(Ri^T Rj) is the flatten-dot
+    of the two rotation matrices, so the [Bq, n] angle block comes from a
+    [Bq, 9] x [9, n] GEMM — the [n, n, 3, 3] intermediate of the naive
+    einsum never exists, and peak extra memory is O(block * n) floats
+    (thousand-frame scans stay comfortably under 1 GB).
     """
     n = len(Rs)
-    centers = -np.einsum("nij,ni->nj", Rs.transpose(0, 2, 1), ts)
-    # pairwise rotation angle via trace(Ri^T Rj)
-    RtR = np.einsum("nij,mik->nmjk", Rs, Rs)  # Ri^T Rj as [n, m, 3, 3]
-    tr = np.trace(RtR, axis1=-2, axis2=-1)
-    ang = np.rad2deg(np.arccos(np.clip((tr - 1) / 2, -1.0, 1.0)))
-    dist = np.linalg.norm(centers[:, None] - centers[None, :], axis=-1)
+    centers = (-np.einsum("nij,ni->nj", Rs.transpose(0, 2, 1), ts)).astype(
+        np.float32
+    )
+    F = Rs.reshape(n, 9).astype(np.float32)  # trace(Ri^T Rj) = Fi . Fj
+    cos_min = np.cos(np.deg2rad(min_rotation_deg))
+
+    if seq_ids is None:
+        seq_ids = np.zeros(n, np.int64)
+    seq_ids = np.asarray(seq_ids)
+    uniq = np.unique(seq_ids)
+    quota = max(covis_num // len(uniq), 1)
+    seq_members = [np.nonzero(seq_ids == s)[0] for s in uniq]
 
     pairs = set()
-    for i in range(n):
-        ok = (ang[i] > min_rotation_deg) & (np.arange(n) != i)
-        cand = np.nonzero(ok)[0]
-        if len(cand) == 0:
-            continue
-        order = cand[np.argsort(dist[i, cand])][:covis_num]
-        for j in order:
-            pairs.add((min(i, int(j)), max(i, int(j))))
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        tr = F[lo:hi] @ F.T                      # [Bq, n]
+        cos_ang = np.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+        d2 = (
+            np.sum(centers[lo:hi] ** 2, axis=1)[:, None]
+            - 2.0 * centers[lo:hi] @ centers.T
+            + np.sum(centers**2, axis=1)[None, :]
+        )                                        # [Bq, n] squared distance
+        valid = cos_ang < cos_min                # rotation > threshold
+        valid[np.arange(hi - lo), np.arange(lo, hi)] = False
+        d2 = np.where(valid, d2, np.inf)
+        for r in range(hi - lo):
+            i = lo + r
+            for members in seq_members:
+                dm = d2[r, members]
+                k = min(quota, len(members))
+                if k == 0:
+                    continue
+                near = np.argpartition(dm, k - 1)[:k] if k < len(members) else np.arange(len(members))
+                for m in near:
+                    if np.isfinite(dm[m]):
+                        j = int(members[m])
+                        pairs.add((min(i, j), max(i, j)))
     if not pairs:
         return np.zeros((0, 2), np.int32)
     return np.asarray(sorted(pairs), np.int32)

@@ -116,8 +116,12 @@ def fit(
             k: v for k, v in metrics.items()
             if getattr(v, "ndim", 0) >= 2
         }
+        # any non-scalar that is not a figure (e.g. a 1-D per-frame metric
+        # array) cannot go through float(); log its mean as the scalar
         rec = {
-            f"val/{k}": float(v) for k, v in metrics.items() if k not in figs
+            f"val/{k}": float(np.mean(v)) if getattr(v, "ndim", 0) >= 1
+            else float(v)
+            for k, v in metrics.items() if k not in figs
         }
         rec["step"] = step
         history.append(rec)

@@ -113,7 +113,12 @@ class SummaryWriter:
 
         img = np.asarray(image)
         if img.dtype != np.uint8:
-            img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+            if np.issubdtype(img.dtype, np.integer):
+                # integer image in 0..255 range (e.g. int32 from matplotlib
+                # or accumulation) — [0,1] scaling would render it binary
+                img = np.clip(img, 0, 255).astype(np.uint8)
+            else:
+                img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
         if img.ndim == 2:
             img = img[:, :, None]
         h, w, c = img.shape

@@ -32,6 +32,51 @@ def test_pairs_from_poses(rng):
     assert (0, 1) in set(map(tuple, p))
 
 
+def test_pairs_from_poses_blockwise_matches_small_block(rng):
+    scene = synthetic.make_scene(rng, n_points=10, n_frames=24)
+    a = pairs.pairs_from_poses(scene.Rs, scene.ts, covis_num=6, block=256)
+    b = pairs.pairs_from_poses(scene.Rs, scene.ts, covis_num=6, block=5)
+    assert set(map(tuple, a)) == set(map(tuple, b))
+
+
+def test_pairs_from_poses_per_sequence_quota(rng):
+    # two sequences: a dense one (every 2 deg) and a sparse one; the quota
+    # must pull candidates from BOTH (reference covis_from_pose's
+    # num_matched_per_seq split)
+    from scipy.spatial.transform import Rotation as _Rot
+
+    angs = np.concatenate([np.arange(0, 160, 2.0), np.arange(0, 160, 40.0)])
+    seq = np.concatenate([np.zeros(80, np.int64), np.ones(4, np.int64)])
+    Rs = _Rot.from_euler("y", angs[:, None], degrees=True).as_matrix().astype(np.float32)
+    ts = np.tile(np.array([0, 0, 2.0], np.float32), (len(angs), 1))
+    ts[80:, 0] += 0.01  # sparse seq slightly offset so distances differ
+    p = pairs.pairs_from_poses(
+        Rs, ts, covis_num=8, min_rotation_deg=10, seq_ids=seq
+    )
+    ps = set(map(tuple, p))
+    # frame 0 (dense seq) must pair with at least one sparse-seq frame
+    assert any(a == 0 and b >= 80 for a, b in ps)
+
+
+def test_pairs_from_poses_scan_scale_memory(rng):
+    # n=2000 must not allocate the naive [n,n,3,3] (288 GB); peak extra is
+    # O(block*n). tracemalloc bounds the python-visible allocations <1 GB.
+    import tracemalloc
+
+    from scipy.spatial.transform import Rotation as _Rot
+
+    n = 2000
+    angs = rng.uniform(0, 360, size=n)
+    Rs = _Rot.from_euler("y", angs[:, None], degrees=True).as_matrix().astype(np.float32)
+    ts = rng.normal(size=(n, 3)).astype(np.float32)
+    tracemalloc.start()
+    p = pairs.pairs_from_poses(Rs, ts, covis_num=10, min_rotation_deg=10)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 1 << 30, f"peak {peak/1e9:.2f} GB"
+    assert len(p) > 0 and np.all(p[:, 0] < p[:, 1])
+
+
 # ---------------- two-view ----------------
 
 
