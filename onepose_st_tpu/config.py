@@ -29,6 +29,11 @@ class BackboneConfig:
     fine_stride: int = 2     # resolution[1]
     # compute dtype for conv path; params stay f32
     dtype: str = "bfloat16"
+    # FPN 2x upsample convention: False = half-pixel (jax.image.resize, our
+    # TPU-native default), True = torch align_corners=True parity — required
+    # when running CONVERTED reference checkpoints (resnet.py:151,155
+    # F.interpolate(..., align_corners=True)); fresh training doesn't care.
+    upsample_align_corners: bool = False
 
 
 @dataclass(frozen=True)
@@ -93,6 +98,9 @@ class MatcherConfig:
     # static number of 3D points after padding; 7000 in the reference
     # (train.yaml:194), rounded up to a lane-aligned multiple of 128 for MXU.
     n_points: int = _round_up(7000, 128)  # 7040
+    # "intended" for fresh training; "loftr_compat" for converted reference
+    # checkpoints (see models/encodings.py)
+    pe_variant: str = "intended"
 
 
 @dataclass(frozen=True)
@@ -111,6 +119,9 @@ class LoFTRConfig:
     fine: FineMatchingConfig = field(
         default_factory=lambda: FineMatchingConfig(window_size=9)
     )
+    # "intended" for fresh training; "loftr_compat" for converted reference
+    # checkpoints (see models/encodings.py)
+    pe_variant: str = "intended"
 
 
 @dataclass(frozen=True)

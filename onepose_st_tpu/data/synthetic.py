@@ -217,6 +217,7 @@ class WildScene(NamedTuple):
     bg_uv: np.ndarray       # [F, B, 2]
     bg_depth: np.ndarray    # [F, B]
     bg_visible: np.ndarray  # [F, B]
+    seq_ids: np.ndarray | None = None  # [F] orbit-ring / sequence label
 
 
 def make_wild_scene(
@@ -230,33 +231,75 @@ def make_wild_scene(
     focal: float | None = None,
     elevation_jitter: float = 0.05,
     wander: float = 0.12,
+    points: np.ndarray | None = None,
+    bg_points: np.ndarray | None = None,
+    elevations: tuple[float, ...] | None = None,
+    phase: float = 0.0,
 ) -> WildScene:
     """Orbit whose look-target drifts (smooth random walk, world units), so
     the object projects off-center and moves around the full frame; uniform
-    background points scattered in a shell around the object."""
+    background points scattered in a shell around the object.
+
+    Pass `points`/`bg_points` to reuse the SAME world geometry across two
+    sequences of one experiment (the two-phase in-the-wild protocol: an
+    object-centred *scan* builds the map, the wandering sequence is pure
+    inference — reference demo.sh:8-24 maps from `*-annotate` scans and
+    tests on `*-test`). `wander=0` gives the object-centred annotate-style
+    scan. `elevations` splits the frames into len(elevations) orbit rings
+    at those heights (the reference captures several annotate sequences at
+    different elevations); `phase` offsets the orbit start angle so a scan
+    and a test orbit never share viewpoints.
+    """
     H, W = image_hw
     focal = focal if focal is not None else 1.4 * min(H, W)
-    pts = rng.uniform(-object_size / 2, object_size / 2, size=(n_points, 3))
-    # background: shell between 1.5x and 4x the object radius, biased away
-    # from the camera orbit plane is unnecessary — occlusions are realistic
-    d = rng.uniform(object_size * 1.5, object_size * 4.0, size=n_bg)
-    dirs = rng.normal(size=(n_bg, 3))
-    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    bg = dirs * d[:, None]
+    if points is None:
+        points = rng.uniform(
+            -object_size / 2, object_size / 2, size=(n_points, 3)
+        )
+    pts = np.asarray(points, np.float32)
+    if bg_points is None:
+        # background: shell between 1.5x and 4x the object radius
+        d = rng.uniform(object_size * 1.5, object_size * 4.0, size=n_bg)
+        dirs = rng.normal(size=(n_bg, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        bg_points = dirs * d[:, None]
+    bg = np.asarray(bg_points, np.float32)
 
     # smooth wandering look-target (AR(1) velocity walk, clipped)
     tgt = np.zeros(3)
     vel = np.zeros(3)
     targets = []
     for _ in range(n_frames):
-        vel = 0.85 * vel + rng.normal(size=3) * wander * 0.08
-        tgt = np.clip(tgt + vel, -wander, wander)
+        if wander > 0:
+            vel = 0.85 * vel + rng.normal(size=3) * wander * 0.08
+            tgt = np.clip(tgt + vel, -wander, wander)
         targets.append(tgt.copy())
+
+    if elevations is None:
+        ring = np.zeros(n_frames, np.int64)
+        ring_pos = np.arange(n_frames)
+        ring_len = np.full(n_frames, n_frames)
+        heights = None
+    else:
+        n_r = len(elevations)
+        ring = np.minimum(np.arange(n_frames) * n_r // n_frames, n_r - 1)
+        ring_pos = np.zeros(n_frames, np.int64)
+        ring_len = np.zeros(n_frames, np.int64)
+        for rg in range(n_r):
+            ids = np.nonzero(ring == rg)[0]
+            ring_pos[ids] = np.arange(len(ids))
+            ring_len[ids] = len(ids)
+        heights = np.asarray(elevations, np.float64)
 
     Rs, ts, poses = [], [], []
     for i in range(n_frames):
-        a = 2 * np.pi * i / n_frames
-        h = rng.uniform(-elevation_jitter, elevation_jitter)
+        a = 2 * np.pi * ring_pos[i] / max(ring_len[i], 1) + phase
+        if heights is None:
+            h = rng.uniform(-elevation_jitter, elevation_jitter)
+        else:
+            h = heights[ring[i]] + rng.uniform(
+                -elevation_jitter, elevation_jitter
+            )
         eye = np.array([radius * np.cos(a), h, radius * np.sin(a)])
         R, t = look_at(eye, targets[i])
         Rs.append(R)
@@ -288,7 +331,7 @@ def make_wild_scene(
     )
     return WildScene(
         scene=scene, bg_points=bg.astype(np.float32), bg_uv=bg_uv,
-        bg_depth=bg_depth, bg_visible=bg_vis,
+        bg_depth=bg_depth, bg_visible=bg_vis, seq_ids=ring,
     )
 
 
@@ -369,17 +412,22 @@ def render_wild_sequence(
     background: float = 0.15,
     noise: float = 0.01,
     ground_grid: bool = False,
+    amps: np.ndarray | None = None,
 ) -> np.ndarray:
     """Render full frames: object + background splats, correct occlusion.
 
     ground_grid=True composites the splats over a gravity-aligned grid
     background (ground_grid_background) so single-image calibration has its
-    physical cues in-frame (reference inference.py:121-123 infer_K path)."""
+    physical cues in-frame (reference inference.py:121-123 infer_K path).
+    Pass `amps` ([n_obj + n_bg] splat amplitudes) to share point appearance
+    across sequences rendered from the same world geometry (scan + test
+    phases of one object)."""
     scene = wild.scene
     n_obj = len(scene.points)
-    amps = rng.uniform(0.3, 1.0, size=n_obj + len(wild.bg_points)).astype(
-        np.float32
-    )
+    if amps is None:
+        amps = rng.uniform(0.3, 1.0, size=n_obj + len(wild.bg_points)).astype(
+            np.float32
+        )
     frames = []
     for f in range(len(scene.poses)):
         uv = np.concatenate([scene.uv[f], wild.bg_uv[f]])

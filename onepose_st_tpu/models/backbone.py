@@ -3,8 +3,9 @@
 Re-design of reference src/models/OnePosePlus/backbone/resnet.py:85
 (ResNetFPN_8_2): same topology — 7x7 stem /2, three BasicBlock stages to
 /8, FPN back up to /2 — with TPU idioms: NHWC, bf16 conv compute with f32
-params/batch-stats, bilinear half-pixel upsampling (we do not need torch
-align_corners parity since weights are not converted).
+params/batch-stats. Upsampling is bilinear half-pixel by default; set
+BackboneConfig.upsample_align_corners for exact torch align_corners parity
+when running converted reference checkpoints.
 
 Outputs: coarse [B, H/8, W/8, block_dims[-1]] and fine [B, H/2, W/2,
 block_dims[0]].
@@ -47,9 +48,27 @@ class BasicBlock(nn.Module):
         return nn.relu(x + y)
 
 
-def _upsample2x(x: jax.Array) -> jax.Array:
+def _upsample2x(x: jax.Array, align_corners: bool = False) -> jax.Array:
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, H * 2, W * 2, C), method="bilinear")
+    if not align_corners:
+        return jax.image.resize(x, (B, H * 2, W * 2, C), method="bilinear")
+    # torch F.interpolate(scale_factor=2, align_corners=True) parity:
+    # output coord i samples input at i * (N-1) / (2N-1). Needed when the
+    # weights come from a converted reference checkpoint.
+    def axis_weights(n):
+        src = jnp.arange(2 * n, dtype=jnp.float32) * (n - 1) / (2 * n - 1)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n - 1)
+        w = (src - lo).astype(x.dtype)
+        return lo, hi, w
+
+    y0, y1, wy = axis_weights(H)
+    x0, x1, wx = axis_weights(W)
+    rows = x[:, y0] * (1 - wy)[None, :, None, None] + x[:, y1] * wy[None, :, None, None]
+    return (
+        rows[:, :, x0] * (1 - wx)[None, None, :, None]
+        + rows[:, :, x1] * wx[None, None, :, None]
+    )
 
 
 class ResNetFPN(nn.Module):
@@ -79,13 +98,14 @@ class ResNetFPN(nn.Module):
         x3 = BasicBlock(d3, 1, dtype)(x3, train)                  # 1/8
 
         # FPN top-down
+        ac = c.upsample_align_corners
         x3_out = conv(d3, 1)(x3)                                  # coarse, 1/8
-        x3_up = _upsample2x(x3_out)
+        x3_up = _upsample2x(x3_out, ac)
         x2_lat = conv(d3, 1)(x2)
         y2 = conv(d3, 3)(x2_lat + x3_up)
         y2 = nn.leaky_relu(norm()(y2))
         x2_out = conv(d2, 3)(y2)                                  # 1/4
-        x2_up = _upsample2x(x2_out)
+        x2_up = _upsample2x(x2_out, ac)
         x1_lat = conv(d2, 1)(x1)
         y1 = conv(d2, 3)(x1_lat + x2_up)
         y1 = nn.leaky_relu(norm()(y1))

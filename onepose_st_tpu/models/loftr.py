@@ -77,8 +77,8 @@ class LoFTRMatcher(nn.Module):
         ff0, ff1 = feat_f[:B], feat_f[B:]
 
         # 2. coarse transformer
-        t0 = sine_positional_encoding(fc0).reshape(B, S, -1)
-        t1 = sine_positional_encoding(fc1).reshape(B, S, -1)
+        t0 = sine_positional_encoding(fc0, c.pe_variant).reshape(B, S, -1)
+        t1 = sine_positional_encoding(fc1, c.pe_variant).reshape(B, S, -1)
         t0, t1 = self.loftr_coarse(t0, t1)
 
         # 3. dual-softmax + mutual-NN extraction (border-masked on both grids)

@@ -72,7 +72,7 @@ class OnePoseMatcher(nn.Module):
         S = Hc * Wc
 
         feat_c, feat_f = self.backbone(query_image, train=train)
-        q_tokens = sine_positional_encoding(feat_c).reshape(B, S, -1)
+        q_tokens = sine_positional_encoding(feat_c, c.pe_variant).reshape(B, S, -1)
         kpts_normed = camera.normalize_3d_keypoints(kpts3d, kpts3d_mask)
         p_tokens = self.kpt_encoding(
             kpts_normed, desc3d_coarse.astype(q_tokens.dtype)

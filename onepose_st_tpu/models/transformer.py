@@ -42,13 +42,19 @@ class EncoderLayer(nn.Module):
         else:
             msg = att_ops.full_attention(q, k, v, q_mask=x_mask, kv_mask=source_mask)
         msg = dense("merge")(msg.reshape(B, L, C))
-        msg = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(msg)
+        # epsilon 1e-5 = torch nn.LayerNorm default, so converted reference
+        # checkpoints are activation-exact
+        msg = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32
+        )(msg)
         # feed-forward over [x ‖ message]
         y = jnp.concatenate([x, msg], axis=-1)
         y = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Dense(C, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(y)
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32
+        )(y)
         return x + y
 
 

@@ -99,6 +99,46 @@ def verify_pair_matches(
     return out
 
 
+def mask_matches_to_boxes(
+    pair_matches: list[tracks_mod.PairMatches],
+    boxes: np.ndarray,          # [F, 4] (x0, y0, x1, y1) per frame
+    margin_px: float = 0.0,
+) -> list[tracks_mod.PairMatches]:
+    """Keep only matches whose BOTH endpoints fall inside the per-frame
+    projected object box.
+
+    The reference achieves this structurally: SfM only ever sees the
+    object-centred 512^2 crops the parse step produced from the GT box
+    (parse_scanned_data.py:98-163), so background texture never enters
+    track building. When crops carry background (repetitive floor texture
+    soaks up matcher capacity and produces epipolar-consistent-but-distant
+    tracks that die at the triangulation-angle gate), this mask is the
+    explicit equivalent: match coords are tested against the projected 3D
+    bounding-box rectangle of their frame, expanded by margin_px.
+    """
+    out = []
+    for pm in pair_matches:
+        bi = boxes[pm.img_i]
+        bj = boxes[pm.img_j]
+        keep = (
+            (pm.uv_i[:, 0] >= bi[0] - margin_px)
+            & (pm.uv_i[:, 0] <= bi[2] + margin_px)
+            & (pm.uv_i[:, 1] >= bi[1] - margin_px)
+            & (pm.uv_i[:, 1] <= bi[3] + margin_px)
+            & (pm.uv_j[:, 0] >= bj[0] - margin_px)
+            & (pm.uv_j[:, 0] <= bj[2] + margin_px)
+            & (pm.uv_j[:, 1] >= bj[1] - margin_px)
+            & (pm.uv_j[:, 1] <= bj[3] + margin_px)
+        )
+        if not keep.any():
+            continue
+        out.append(tracks_mod.PairMatches(
+            img_i=pm.img_i, img_j=pm.img_j,
+            uv_i=pm.uv_i[keep], uv_j=pm.uv_j[keep], score=pm.score[keep],
+        ))
+    return out
+
+
 def build_map_from_matches(
     pair_matches: list[tracks_mod.PairMatches],
     poses: np.ndarray,          # [F, 6]

@@ -189,17 +189,30 @@ def _folded_dense(lin_prefix: str, bn_prefix: str, dst_path):
 def kpt_encoding_rules(
     src: str = "kpt_3d_pos_encoding", dst: str = "kpt_encoding",
     layers: tuple[int, ...] = (32, 64, 128),
+    norm_method: str = "instancenorm",
 ) -> list[ConvertRule]:
     """KeypointEncoding_linear (position_encoding.py:46-80): Sequential of
-    Linear/BN1d/ReLU triples + final Linear. Linears sit at indices 0,3,6,..
-    BN1d at 1,4,7,..; BNs are folded into the preceding Linear."""
+    Linear/norm/ReLU triples + final Linear; Linears sit at indices 0,3,6,..
+    norms at 1,4,7,..
+
+    norm_method must match the checkpoint's training config:
+      * "instancenorm" (the published OnePose++ config, train.yaml:63):
+        InstanceNorm1d on [B, L, C] normalizes each point's feature vector
+        affine-free and contributes NO state_dict keys — plain dense
+        mapping; our KeypointEncoding reproduces that normalization.
+      * "batchnorm": BN1d keys are folded into the preceding Linear
+        (numerically exact in eval mode) — NOTE our module still applies
+        its per-point normalization after each hidden Dense, so this
+        variant is shape-correct but NOT activation-exact; only the
+        instancenorm family has a real published checkpoint.
+    """
     e = lambda s: s.replace(".", r"\.")  # noqa: E731
     rules: list[ConvertRule] = []
     n = len(layers) + 1  # number of Linears
     for k in range(n):
         li = 3 * k
         lin = f"{src}.encoder.{li}"
-        if k < n - 1:
+        if k < n - 1 and norm_method == "batchnorm":
             bn = f"{src}.encoder.{li + 1}"
             rules.append((e(f"{lin}.weight"), _folded_dense(lin, bn, (dst, f"Dense_{k}"))))
             rules.append((e(f"{lin}.bias"), _skip))
@@ -221,12 +234,14 @@ def loftr_rules() -> list[ConvertRule]:
     )
 
 
-def onepose_rules() -> list[ConvertRule]:
+def onepose_rules(norm_method: str = "instancenorm") -> list[ConvertRule]:
     """Full rule table for the OnePose++ 2D-3D matcher checkpoint (after
-    stripping the Lightning `matcher.` prefix, model_io.py surgery)."""
+    stripping the Lightning `matcher.` prefix, model_io.py surgery).
+    norm_method: the checkpoint's keypoints_encoding norm (train.yaml:63
+    publishes "instancenorm"; see kpt_encoding_rules)."""
     return (
         resnetfpn_rules("backbone", "backbone")
-        + kpt_encoding_rules()
+        + kpt_encoding_rules(norm_method=norm_method)
         + encoder_stack_rules("loftr_coarse", "loftr_coarse", n_iters=3)
         + encoder_stack_rules("loftr_fine", "loftr_fine", n_iters=1)
         + [(r"dense_pos_encoding\.pe", _skip)]

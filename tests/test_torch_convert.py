@@ -253,7 +253,12 @@ def test_onepose_rule_table_roundtrip(rng):
             sd[f"{bn}.running_mean"] = rng.normal(size=chans[k + 1]).astype(np.float32)
             sd[f"{bn}.running_var"] = rng.uniform(0.5, 2, size=chans[k + 1]).astype(np.float32)
 
-    params, stats = convert_state_dict(sd, convert_rules.onepose_rules())
+    # this synthetic sd carries BN keys -> the batchnorm-family rule table
+    # (the published instancenorm family is numerics-tested in
+    # test_convert_numerics.py)
+    params, stats = convert_state_dict(
+        sd, convert_rules.onepose_rules(norm_method="batchnorm")
+    )
 
     cfg = cfg_lib.MatcherConfig(
         backbone=cfg_lib.BackboneConfig(dtype="float32"),
