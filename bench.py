@@ -353,14 +353,135 @@ def bench_pipeline(iters: int = 50) -> dict:
     }
 
 
+def bench_closed_loop_real(n_frames: int = 40, image: int = 512) -> dict:
+    """The ACTUAL closed-loop path: PoseEstimator.estimate per frame —
+    previous-pose box projection, host crop/warp, fused matcher+PnP device
+    program, single batched result fetch. bench_pipeline measures only the
+    fused device program; this drives the full state machine the way
+    examples/full_frame_e2e.py does (detector tracking path re-seeded with
+    the GT pose each frame so random weights cannot derail the path under
+    test). Also reports the detector cold-start latency and the host/device
+    time split per tracked frame.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_st_tpu import config as cfg_lib
+    from onepose_st_tpu.core import camera
+    from onepose_st_tpu.data import synthetic
+    from onepose_st_tpu.infer.detector import DetectorDB, ObjectDetector
+    from onepose_st_tpu.infer.pipeline import PoseEstimator
+    from onepose_st_tpu.models import LoFTRMatcher, OnePoseMatcher
+    from onepose_st_tpu.sfm.map import SfMMap
+
+    rng = np.random.default_rng(0)
+    cfg = cfg_lib.adapt_dtypes(cfg_lib.EngineConfig())
+    wild = synthetic.make_wild_scene(
+        rng, n_points=200, n_bg=200, n_frames=n_frames,
+        image_hw=(image, image),
+    )
+    frames = synthetic.render_wild_sequence(wild, rng, sigma_px=2.0)
+    scene = wild.scene
+    ext = np.array([0.22, 0.22, 0.22], np.float32)
+    corners = np.asarray(camera.box3d_corners(jnp.asarray(ext)))
+
+    n_map = 2000
+    sfm_map = SfMMap(
+        keypoints3d=rng.uniform(-0.1, 0.1, size=(n_map, 3)).astype(np.float32),
+        desc_coarse=rng.normal(size=(n_map, 256)).astype(np.float32),
+        desc_fine=rng.normal(size=(n_map, 128)).astype(np.float32),
+        scores=np.ones(n_map, np.float32),
+        box_corners=corners,
+    )
+    model = OnePoseMatcher(cfg.matcher)
+    crop_hw = (256, 256)
+    L = cfg.matcher.n_points
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, *crop_hw, 1)),
+        jnp.zeros((1, L, 3)), jnp.zeros((1, L, 256)), jnp.zeros((1, L, 128)),
+        jnp.ones((1, L), bool),
+    )
+    loftr = LoFTRMatcher(cfg_lib.adapt_dtypes(cfg_lib.LoFTRConfig()))
+    db_ids = np.arange(0, n_frames, max(1, n_frames // 8))[:8]
+    boxes = []
+    for f in db_ids:
+        uv, _ = camera.project(
+            jnp.asarray(corners), jnp.asarray(scene.poses[f]),
+            jnp.asarray(scene.Ks[f]),
+        )
+        boxes.append(np.asarray(camera.bbox_from_points(uv)))
+    db = DetectorDB(images=frames[db_ids], boxes=np.stack(boxes).astype(np.float32))
+    lvars = jax.jit(loftr.init)(
+        jax.random.key(1), jnp.asarray(frames[:1, ..., None]),
+        jnp.asarray(frames[:1, ..., None]),
+    )
+    detector = ObjectDetector(loftr, lvars, db, crop_hw=crop_hw)
+    est = PoseEstimator(cfg, model, variables, sfm_map, detector)
+
+    # warm both paths (compiles the fused program + the detector batch)
+    est.estimate(frames[0], scene.Ks[0], frame_idx=0)
+    est._prev_pose = scene.poses[0].copy()
+    est._lost = False
+    est.estimate(frames[0], scene.Ks[0], frame_idx=0)
+
+    # cold-start latency (detector.detect path)
+    est.reset()
+    t0 = time.perf_counter()
+    est.estimate(frames[0], scene.Ks[0], frame_idx=0)
+    cold_ms = (time.perf_counter() - t0) * 1e3
+
+    # tracked-path frames/s (the dominant path: 70/80 frames in the e2e log)
+    t0 = time.perf_counter()
+    for f in range(n_frames):
+        est._prev_pose = scene.poses[f].copy()
+        est._lost = False
+        est.estimate(frames[f], scene.Ks[f], frame_idx=f)
+    dt = (time.perf_counter() - t0) / n_frames
+
+    # device-only time of the same fused program (host share = rest)
+    det = detector.previous_pose_detect(
+        scene.poses[0], scene.Ks[0], corners
+    )
+    crop, K_crop, _ = detector.crop(frames[0], det, scene.Ks[0])
+    kpts, dc, df, mask = est._cloud
+    args = (variables, jnp.asarray(crop[None, ..., None]), kpts, dc, df,
+            mask, jnp.asarray(K_crop), jax.random.key(0))
+    jax.device_get(est._fwd_pnp(*args))
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        out = est._fwd_pnp(*args)
+    jax.device_get(out)
+    dev_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    return {
+        "metric": f"closed_loop_real_fps_1chip_{image}px_tracked",
+        "value": round(1.0 / dt, 2),
+        "unit": "frames/s",
+        "device_ms": round(dev_ms, 1),
+        "host_ms": round(dt * 1e3 - dev_ms, 1),
+        "cold_start_ms": round(cold_ms, 1),
+        "vs_baseline": round(1.0 / dt / 21.5, 4),  # vs the fused-program-only
+                                                   # bench_pipeline fps
+    }
+
+
 def bench_scaling(batch_per_dev: int = 8, iters: int = 20) -> list[dict]:
     """Multi-device scaling: matcher forward + sharded depth-BA over a
-    1..N-device mesh (frames/s resp. tracks/s, plus efficiency vs linear
-    scaling from 1 device). On a single-chip or CPU run this measures what
-    the hardware offers (8 virtual CPU devices in tests via
-    xla_force_host_platform_device_count); the same code path produces the
-    north-star numbers unchanged on a real multi-chip slice (BASELINE.md
-    >=80% efficiency target at N>=2).
+    1..N-device mesh, at FLAGSHIP model dims (d=256, 3x(self,cross),
+    L=7040 points — reduced batch/image is fine, toy dims are not).
+
+    Efficiency definition depends on the platform:
+      * real multi-chip TPU: weak scaling — fps(n) / (n * fps(1)) with
+        batch_per_dev per device (BASELINE.md >=80% target at N>=2 hosts);
+      * CPU proxy (8 virtual devices on a shared host, tests/dryrun): the
+        virtual devices share the same physical cores, so aggregate
+        throughput CANNOT scale with n and weak-scaling efficiency would
+        be bounded by n_cores/n regardless of the code. What the proxy CAN
+        honestly measure is SHARDING OVERHEAD: the same total batch run on
+        a 1-device mesh vs sharded over n devices — efficiency =
+        fps_sharded(n) / fps_single at fixed total work. Collectives,
+        partitioning and per-shard dispatch are the only difference.
     """
     import jax
     import jax.numpy as jnp
@@ -375,24 +496,11 @@ def bench_scaling(batch_per_dev: int = 8, iters: int = 20) -> list[dict]:
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev_all]
     on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu:
-        # virtual-CPU correctness + shape-of-curve run (tests/dryrun); the
-        # real sizes below produce the north-star numbers on TPU hardware
-        batch_per_dev = min(batch_per_dev, 2)
-        iters = min(iters, 3)
+        batch_per_dev = min(batch_per_dev, 1)
+        iters = min(iters, 2)
+    # flagship dims on every platform; image reduced off-TPU to bound the
+    # 2-core proxy wall clock
     cfg = cfg_lib.adapt_dtypes(cfg_lib.MatcherConfig())
-    if not on_tpu:
-        cfg = cfg_lib.replace(
-            cfg,
-            backbone=cfg_lib.BackboneConfig(
-                initial_dim=32, block_dims=(32, 48, 64), dtype=cfg.backbone.dtype
-            ),
-            coarse=cfg_lib.replace(cfg.coarse, d_model=64, nhead=4, layer_iter_n=2),
-            fine=cfg_lib.replace(cfg.fine, d_model=32),
-            kpt_encoding=cfg_lib.KeypointEncodingConfig(
-                hidden=(16, 32), descriptor_dim=64
-            ),
-            n_points=512,
-        )
     model = OnePoseMatcher(cfg)
     rng = np.random.default_rng(0)
     H = W = 512 if on_tpu else 128
@@ -400,20 +508,25 @@ def bench_scaling(batch_per_dev: int = 8, iters: int = 20) -> list[dict]:
     out: list[dict] = []
 
     # --- matcher forward scaling ------------------------------------------
+    # fixed TOTAL batch across mesh sizes on CPU (sharding-overhead proxy);
+    # per-device batch on TPU (weak scaling)
+    B_fixed = batch_per_dev * max(sizes)
     base_fps = None
+    variables0 = None
     for n in sizes:
         mesh = make_mesh(n)
-        B = batch_per_dev * n
+        B = batch_per_dev * n if on_tpu else B_fixed
         img = rng.uniform(size=(B, H, W, 1)).astype(np.float32)
         kpts = rng.uniform(-0.1, 0.1, size=(B, L, 3)).astype(np.float32)
         dc = rng.normal(size=(B, L, cfg.coarse.d_model)).astype(np.float32)
         df = rng.normal(size=(B, L, cfg.fine.d_model)).astype(np.float32)
         mask = np.ones((B, L), bool)
-        variables = jax.jit(model.init)(
-            jax.random.key(0), jnp.asarray(img[:1]), jnp.asarray(kpts[:1]),
-            jnp.asarray(dc[:1]), jnp.asarray(df[:1]), jnp.asarray(mask[:1]),
-        )
-        variables = mesh_lib.replicate_pytree(variables, mesh)
+        if variables0 is None:
+            variables0 = jax.jit(model.init)(
+                jax.random.key(0), jnp.asarray(img[:1]), jnp.asarray(kpts[:1]),
+                jnp.asarray(dc[:1]), jnp.asarray(df[:1]), jnp.asarray(mask[:1]),
+            )
+        variables = mesh_lib.replicate_pytree(variables0, mesh)
         spec = mesh_lib.shard_batch(mesh)
         args = [
             jax.device_put(jnp.asarray(a), spec(a))
@@ -436,18 +549,20 @@ def bench_scaling(batch_per_dev: int = 8, iters: int = 20) -> list[dict]:
         fps = B / dt
         if base_fps is None:
             base_fps = fps
-        eff = fps / (n * base_fps)
+        eff = fps / (n * base_fps) if on_tpu else fps / base_fps
         out.append({
-            "metric": f"scaling_matcher_fwd_fps_{n}dev_b{batch_per_dev}x{n}",
+            "metric": f"scaling_matcher_fwd_fps_{n}dev_B{B}",
             "value": round(fps, 2),
             "unit": "frames/s",
             "n_devices": n,
             "efficiency": round(eff, 4),
+            "efficiency_def": "weak_scaling" if on_tpu else "sharding_overhead_fixed_work",
             "vs_baseline": round(eff, 4),
         })
 
     # --- sharded bundle-adjustment scaling --------------------------------
-    n_ba = 8192 if on_tpu else 2048
+    # reference map scale (15k tracks, sfm_demo.yaml:17) on every platform
+    n_ba = 15000
     scene = synthetic.make_scene(rng, n_points=n_ba, n_frames=32)
     tracks = synthetic.make_tracks(scene, rng, max_track_length=8, noise_px=0.5)
     T = len(tracks.depth_gt)
@@ -485,13 +600,16 @@ def bench_scaling(batch_per_dev: int = 8, iters: int = 20) -> list[dict]:
         tps = T / t_sol
         if base_tps is None:
             base_tps = tps
-        eff = tps / (n * base_tps)
+        # fixed problem size: strong scaling on real chips; on the shared-
+        # core CPU proxy the honest number is sharding overhead (flat ideal)
+        eff = tps / (n * base_tps) if on_tpu else tps / base_tps
         out.append({
             "metric": f"scaling_sharded_ba_tracks_per_s_{n}dev_T{T}",
             "value": round(tps, 1),
             "unit": "tracks/s",
             "n_devices": n,
             "efficiency": round(eff, 4),
+            "efficiency_def": "strong_scaling" if on_tpu else "sharding_overhead_fixed_work",
             "vs_baseline": round(eff, 4),
         })
     return out
@@ -512,6 +630,8 @@ def main():
         result = bench_depth_ba()
     elif which == "pipeline":
         result = bench_pipeline()
+    elif which == "closed_loop_real":
+        result = bench_closed_loop_real()
     elif which == "scaling":
         for r in bench_scaling():
             print(json.dumps(r))
@@ -519,7 +639,7 @@ def main():
     elif which == "all":
         for r in (
             bench_matcher(), bench_matcher(batch=16), bench_train(),
-            bench_depth_ba(), bench_pipeline(),
+            bench_depth_ba(), bench_pipeline(), bench_closed_loop_real(),
         ):
             print(json.dumps(r))
         return

@@ -1,19 +1,24 @@
 """Full-frame in-the-wild inference loop (reference inference.py:136-224).
 
-The r1 e2e ran pre-cropped only; this drives the WHOLE state machine on
-full frames with an off-center, wandering object over background clutter:
+Two-phase protocol, matching the reference's data flow (demo.sh:8-24): the
+SfM map and the 2D-3D matcher come from an object-centred, rotation-rich
+*scan* phase (the reference's `*-annotate` orbit sequences, captured as
+several rings at different elevations), and the wandering in-the-wild
+sequence is PURE inference — every wild frame is a novel view:
 
-  detect (LoFTR vs DB views + affine RANSAC) -> crop + K rewrite
+  detect (LoFTR vs DB scan views + affine RANSAC) -> crop + K rewrite
   -> 2D-3D match -> RANSAC PnP -> next frame tracked via previous-pose box
   -> lost track (forced corrupted frames) -> re-detect -> recover.
 
-Map building + matcher training happen on GT-box crops of the training
-frames (the reference's parse step crops scans the same way,
-parse_scanned_data.py:98-163). Reports held-out pose APs + ATE + redetect
-stats, and verifies lost-track recovery.
+Scan-phase SfM matches are masked to the projected 3D-box rectangle
+(sfm_pipeline.mask_matches_to_boxes) — the explicit equivalent of the
+reference only ever feeding object-centred 512^2 parse crops to SfM
+(parse_scanned_data.py:98-163) — so background texture (the ground grid)
+cannot soak up track capacity. Reports wild-sequence pose APs + ATE +
+redetect stats, and verifies lost-track recovery.
 
   python examples/full_frame_e2e.py --preset full --steps 6000 \
-      --loftr_ckpt ckpts/loftr_full_r2 [--refine learned --tracker_ckpt ...]
+      --loftr_ckpt ckpts/loftr_full_r2 --loftr_matches_for_map --ground_grid
 """
 from __future__ import annotations
 
@@ -33,7 +38,11 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--preset", default="small", choices=["tiny", "small", "full"])
     ap.add_argument("--steps", type=int, default=2000)
-    ap.add_argument("--frames", type=int, default=80)
+    ap.add_argument("--frames", type=int, default=80,
+                    help="wild (test) sequence length")
+    ap.add_argument("--scan_frames", type=int, default=96,
+                    help="scan (annotate) phase length, split across "
+                         "elevation rings")
     ap.add_argument("--points", type=int, default=400)
     ap.add_argument("--bg_points", type=int, default=700)
     ap.add_argument("--full_image", type=int, default=512)
@@ -51,6 +60,9 @@ def main():
     ap.add_argument("--loftr_matches_for_map", action="store_true",
                     help="build the map from LoFTR matches over covis pairs "
                          "instead of GT correspondences")
+    ap.add_argument("--no_box_mask", action="store_true",
+                    help="ablation: skip masking SfM matches to the "
+                         "projected object box")
     ap.add_argument("--eval_conf_thr", type=float, default=None)
     ap.add_argument("--wander", type=float, default=0.12)
     ap.add_argument("--ground_grid", action="store_true",
@@ -61,6 +73,15 @@ def main():
                          "additionally run inference with the INFERRED K "
                          "(reference inference.py:121-123 infer_K) and "
                          "report the AP delta vs ground-truth K")
+    ap.add_argument("--refine", default=None, choices=[None, "correlation"],
+                    help="temporal second pass over the wild sequence")
+    ap.add_argument("--save_run", default=None,
+                    help="directory to save map + trained matcher for "
+                         "--reuse_run iteration on the inference phase")
+    ap.add_argument("--reuse_run", default=None,
+                    help="skip map building + training; load artifacts "
+                         "saved by --save_run (scenes are regenerated "
+                         "deterministically from --seed)")
     args = ap.parse_args()
 
     import jax
@@ -83,41 +104,62 @@ def main():
     rng = np.random.default_rng(args.seed)
     from scipy.spatial.transform import Rotation
 
-    # --- full-frame scene ---------------------------------------------------
+    # --- phase 1 geometry: object-centred scan (annotate) + wild (test) ----
     t0 = time.time()
-    wild = synthetic.make_wild_scene(
+    scan = synthetic.make_wild_scene(
         rng, n_points=args.points, n_bg=args.bg_points,
-        n_frames=args.frames, image_hw=(args.full_image, args.full_image),
+        n_frames=args.scan_frames, image_hw=(args.full_image, args.full_image),
+        object_size=0.2, wander=0.0,
+        elevations=(0.05, -0.25), elevation_jitter=0.02, phase=0.33,
+    )
+    wild = synthetic.make_wild_scene(
+        rng, n_frames=args.frames, image_hw=(args.full_image, args.full_image),
         object_size=0.2, wander=args.wander,
+        points=scan.scene.points, bg_points=scan.bg_points,
     )
-    scene = wild.scene
+    scene = scan.scene          # scan geometry (map building + training)
+    wscene = wild.scene         # wild geometry (inference only)
+    # shared per-point appearance: scan and wild render the same world
+    amps = rng.uniform(
+        0.3, 1.0, size=args.points + len(scan.bg_points)
+    ).astype(np.float32)
+    scan_full = synthetic.render_wild_sequence(
+        scan, rng, sigma_px=2.0, ground_grid=args.ground_grid, amps=amps,
+    )
     frames_full = synthetic.render_wild_sequence(
-        wild, rng, sigma_px=2.0, ground_grid=args.ground_grid,
+        wild, rng, sigma_px=2.0, ground_grid=args.ground_grid, amps=amps,
     )
-    eval_ids = np.arange(2, args.frames, 5)
-    train_ids = np.setdiff1d(np.arange(args.frames), eval_ids)
-    print(f"rendered {args.frames} full frames "
-          f"({args.full_image}px) in {time.time()-t0:.1f}s")
+    print(f"rendered scan {args.scan_frames} + wild {args.frames} full "
+          f"frames ({args.full_image}px) in {time.time()-t0:.1f}s")
 
-    # --- GT-box crops of training frames (the parse step's role) -----------
+    # --- GT-box crops of SCAN frames (the parse step's role) ---------------
     ext = np.array([0.22, 0.22, 0.22], np.float32)
     corners = np.asarray(camera.box3d_corners(jnp.asarray(ext)))
     crop_hw = (args.crop, args.crop)
-    crops = np.zeros((args.frames, args.crop, args.crop), np.float32)
-    K_crops = np.zeros((args.frames, 3, 3), np.float32)
-    A3s = np.zeros((args.frames, 3, 3), np.float32)
-    for f in range(args.frames):
+    n_scan = args.scan_frames
+    crops = np.zeros((n_scan, args.crop, args.crop), np.float32)
+    K_crops = np.zeros((n_scan, 3, 3), np.float32)
+    A3s = np.zeros((n_scan, 3, 3), np.float32)
+    boxes_crop = np.zeros((n_scan, 4), np.float32)  # projected 3D box, crop px
+    for f in range(n_scan):
         uv_box, _ = camera.project(
             jnp.asarray(corners), jnp.asarray(scene.poses[f]),
             jnp.asarray(scene.Ks[f]),
         )
         box = camera.square_box(camera.bbox_from_points(uv_box), pad_ratio=0.1)
-        crops[f], A3s[f] = img_ops.crop_image(frames_full[f], np.asarray(box), crop_hw)
+        crops[f], A3s[f] = img_ops.crop_image(scan_full[f], np.asarray(box), crop_hw)
         K_crops[f] = np.asarray(
             camera.crop_K(jnp.asarray(scene.Ks[f]), box, crop_hw)
         )
+        # the object's tight projected box, mapped into crop coords
+        ub = np.asarray(uv_box)
+        ub_crop = (
+            A3s[f] @ np.concatenate([ub, np.ones((len(ub), 1))], 1).T
+        ).T[:, :2]
+        boxes_crop[f] = [ub_crop[:, 0].min(), ub_crop[:, 1].min(),
+                         ub_crop[:, 0].max(), ub_crop[:, 1].max()]
 
-    # object-point projections in crop coords
+    # object-point projections in crop coords (GT-match fallback path)
     uv_crop = np.einsum(
         "fij,fpj->fpi", A3s,
         np.concatenate([scene.uv, np.ones_like(scene.uv[..., :1])], axis=-1),
@@ -128,7 +170,7 @@ def main():
         & (uv_crop[..., 1] > 0) & (uv_crop[..., 1] < args.crop)
     )
 
-    # --- map building on crops ---------------------------------------------
+    # --- map building on scan crops ----------------------------------------
     model = OnePoseMatcher(cfg.matcher)
     L = cfg.matcher.n_points
     Cc = cfg.matcher.coarse.d_model
@@ -137,7 +179,6 @@ def main():
         jax.random.key(0), jnp.asarray(crops[:1, ..., None]),
         jnp.zeros((1, L, 3)), jnp.zeros((1, L, Cc)), jnp.zeros((1, L, Cf)),
     )
-    sample_desc = sfm_pipeline.make_descriptor_sampler(model, variables, crops)
 
     loftr = None
     lvars = None
@@ -151,26 +192,41 @@ def main():
         lvars = load_checkpoint(args.loftr_ckpt)
         print(f"LoFTR config source: {args.loftr_ckpt}/model_config.json")
 
-    if args.loftr_matches_for_map:
+    if args.reuse_run:
+        import flax.serialization as ser
+
+        from onepose_st_tpu.sfm.map import SfMMap
+
+        sfm_map = SfMMap.load(str(Path(args.reuse_run) / "map.npz"))
+        with open(Path(args.reuse_run) / "matcher.msgpack", "rb") as f:
+            trained = ser.from_bytes(
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})},
+                f.read(),
+            )
+        print(f"reused map ({len(sfm_map.keypoints3d)} pts) + trained "
+              f"matcher from {args.reuse_run}")
+    elif args.loftr_matches_for_map:
         assert loftr is not None, "--loftr_matches_for_map needs --loftr_ckpt"
         from onepose_st_tpu.sfm import pairs as pairs_mod
 
-        Rs, ts = pairs_mod.poses_to_Rt(scene.poses[train_ids])
+        Rs, ts = pairs_mod.poses_to_Rt(scene.poses)
         local_pairs = pairs_mod.pairs_from_poses(
-            Rs, ts, covis_num=10, min_rotation_deg=10.0
+            Rs, ts, covis_num=10, min_rotation_deg=10.0,
+            seq_ids=scan.seq_ids,
         )
         t0 = time.time()
         pms = sfm_pipeline.match_pairs_loftr(
-            loftr, lvars, crops, train_ids[local_pairs].astype(np.int32),
+            loftr, lvars, crops, local_pairs.astype(np.int32),
             batch_size=args.batch,
         )
         print(f"LoFTR-matched {len(local_pairs)} covis pairs in "
-              f"{time.time()-t0:.1f}s")
+              f"{time.time()-t0:.1f}s "
+              f"({sum(len(pm.uv_i) for pm in pms)} raw matches)")
     else:
         pms = []
-        for a in range(len(train_ids)):
-            for b in range(a + 1, len(train_ids)):
-                i, j = int(train_ids[a]), int(train_ids[b])
+        for i in range(n_scan):
+            for j in range(i + 1, n_scan):
                 vis = vis_crop[i] & vis_crop[j]
                 ids = np.nonzero(vis)[0]
                 if len(ids) < 8:
@@ -181,30 +237,94 @@ def main():
                     uv_crop[j, ids].astype(np.float32) + noise,
                     np.ones(len(ids), np.float32),
                 ))
-    sfm_map, diag = sfm_pipeline.build_map_from_matches(
-        pms, scene.poses, K_crops, cfg, box_corners=corners,
-        sample_descriptors=sample_desc, desc_dims=(Cc, Cf),
-    )
-    print(f"map: {len(sfm_map.keypoints3d)} pts (tracks {diag.n_tracks}, "
-          f"BA {diag.ba_initial_cost:.2f} -> {diag.ba_final_cost:.2f})")
+    if not args.reuse_run:
+        if not args.no_box_mask:
+            n_before = sum(len(pm.uv_i) for pm in pms)
+            pms = sfm_pipeline.mask_matches_to_boxes(
+                pms, boxes_crop, margin_px=4.0
+            )
+            n_after = sum(len(pm.uv_i) for pm in pms)
+            print(f"box mask: {n_before} -> {n_after} matches "
+                  f"({100.0 * n_after / max(n_before, 1):.0f}% inside object box)")
+        sample_desc = sfm_pipeline.make_descriptor_sampler(
+            model, variables, crops
+        )
+        sfm_map, diag = sfm_pipeline.build_map_from_matches(
+            pms, scene.poses, K_crops, cfg, box_corners=corners,
+            sample_descriptors=sample_desc, desc_dims=(Cc, Cf),
+        )
+        print(f"map: {len(sfm_map.keypoints3d)} pts (tracks {diag.n_tracks}, "
+              f"tri-survival {100.0 * diag.n_triangulated / max(diag.n_tracks, 1):.0f}%, "
+              f"reproj {diag.mean_reproj_err_px:.2f}px, "
+              f"BA {diag.ba_initial_cost:.2f} -> {diag.ba_final_cost:.2f})")
 
-    # --- train the 2D-3D matcher on crops ----------------------------------
-    batches = data_mod.map_training_batches(
-        sfm_map, crops, scene.poses, K_crops, cfg, rng,
-        batch_size=args.batch, frame_ids=train_ids,
-        homography_prob=0.15, photometric="dark",
-    )
-    t0 = time.time()
-    state, _ = loop_mod.fit(
-        cfg, model, batches, n_steps=args.steps, log_every=500,
-        log_fn=lambda s, r: print(
-            f"  step {s}: loss {r['loss']:.4f} ({r['steps_per_sec']:.2f} it/s)"
-        ),
-    )
-    print(f"trained {args.steps} steps in {time.time()-t0:.1f}s")
-    trained = {"params": state.params, "batch_stats": state.batch_stats}
+        # --- train the 2D-3D matcher on scan crops -------------------------
+        # training-crop framing jitter: inference crops come from detector
+        # boxes (off-center object, box hanging past the frame edge ->
+        # black warp fill). Always-centered GT crops overfit to perfect
+        # framing — per extra crop, shift the box up to 15% of its side and
+        # rescale 0.95-1.4x before cropping so the matcher trains on the
+        # same distribution the detector produces (the reference gets this
+        # robustness from its large-scale pretraining; our per-object
+        # matcher has to learn it from the scan).
+        n_aug = 2
+        crops_tr = [crops]
+        K_tr = [K_crops]
+        pose_tr = [scene.poses]
+        for a in range(n_aug):
+            cj = np.zeros_like(crops)
+            kj = np.zeros_like(K_crops)
+            for f in range(n_scan):
+                uv_box, _ = camera.project(
+                    jnp.asarray(corners), jnp.asarray(scene.poses[f]),
+                    jnp.asarray(scene.Ks[f]),
+                )
+                base = camera.square_box(
+                    camera.bbox_from_points(uv_box), pad_ratio=0.1
+                )
+                b = np.asarray(base, np.float64)
+                side = b[2] - b[0]
+                shift = rng.uniform(-0.15, 0.15, size=2) * side
+                scale = rng.uniform(0.95, 1.4)
+                cx, cy = (b[0] + b[2]) / 2 + shift[0], (b[1] + b[3]) / 2 + shift[1]
+                half = side * scale / 2
+                bj = np.array([cx - half, cy - half, cx + half, cy + half],
+                              np.float32)
+                cj[f], A3j = img_ops.crop_image(scan_full[f], bj, crop_hw)
+                kj[f] = (A3j @ scene.Ks[f]).astype(np.float32)
+            crops_tr.append(cj)
+            K_tr.append(kj)
+            pose_tr.append(scene.poses)
+        crops_all = np.concatenate(crops_tr)
+        K_all = np.concatenate(K_tr)
+        poses_all = np.concatenate(pose_tr)
+        batches = data_mod.map_training_batches(
+            sfm_map, crops_all, poses_all, K_all, cfg, rng,
+            batch_size=args.batch,
+            homography_prob=0.3, photometric="dark",
+        )
+        t0 = time.time()
+        state, _ = loop_mod.fit(
+            cfg, model, batches, n_steps=args.steps, log_every=500,
+            log_fn=lambda s, r: print(
+                f"  step {s}: loss {r['loss']:.4f} ({r['steps_per_sec']:.2f} it/s)"
+            ),
+        )
+        print(f"trained {args.steps} steps in {time.time()-t0:.1f}s")
+        trained = {"params": state.params, "batch_stats": state.batch_stats}
 
-    # --- full-frame inference with the detector state machine --------------
+        if args.save_run:
+            import flax.serialization as ser
+
+            out_dir = Path(args.save_run)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            sfm_map.save(out_dir / "map.npz")
+            with open(out_dir / "matcher.msgpack", "wb") as f:
+                f.write(ser.to_bytes(trained))
+            cfg_lib.save_model_config(out_dir, cfg)
+            print(f"saved run artifacts -> {out_dir}")
+
+    # --- wild-sequence inference with the detector state machine -----------
     eval_cfg = cfg
     if args.eval_conf_thr is not None:
         eval_cfg = cfg_lib.replace(cfg, matcher=cfg_lib.replace(
@@ -216,10 +336,12 @@ def main():
         print("WARNING: no --loftr_ckpt; random detector weights")
         loftr = LoFTRMatcher(cfg_lib.adapt_dtypes(cfg_lib.LoFTRConfig()))
         lvars = jax.jit(loftr.init)(
-            jax.random.key(1), jnp.asarray(frames_full[:1, ..., None]),
-            jnp.asarray(frames_full[:1, ..., None]),
+            jax.random.key(1), jnp.asarray(scan_full[:1, ..., None]),
+            jnp.asarray(scan_full[:1, ..., None]),
         )
-    db_ids = train_ids[:: max(1, len(train_ids) // args.db_views)][: args.db_views]
+    # detector DB: scan views spread across the rings (reference loads ~15
+    # reference views from the SfM workspace, local_feature_2D_detector.py:40)
+    db_ids = np.arange(n_scan)[:: max(1, n_scan // args.db_views)][: args.db_views]
     db_boxes = []
     for f in db_ids:
         uv_box, _ = camera.project(
@@ -228,17 +350,16 @@ def main():
         )
         db_boxes.append(np.asarray(camera.bbox_from_points(uv_box)))
     db = DetectorDB(
-        images=frames_full[db_ids], boxes=np.stack(db_boxes).astype(np.float32)
+        images=scan_full[db_ids], boxes=np.stack(db_boxes).astype(np.float32)
     )
     detector = ObjectDetector(loftr, lvars, db, crop_hw=crop_hw)
-    sfm_map_box = sfm_map if sfm_map.box_corners is not None else None
     estimator = PoseEstimator(eval_cfg, eval_model, trained, sfm_map, detector)
 
-    # corrupt a couple of eval frames to force lost tracks
+    # corrupt a couple of wild frames to force lost tracks
     corrupt_ids = set()
     if args.corrupt > 0:
-        step = max(1, len(eval_ids) // (args.corrupt + 1))
-        corrupt_ids = {int(eval_ids[(k + 1) * step]) for k in range(args.corrupt)}
+        step = max(1, args.frames // (args.corrupt + 1))
+        corrupt_ids = {(k + 1) * step for k in range(args.corrupt)}
     frames_eval = frames_full.copy()
     for f in corrupt_ids:
         frames_eval[f] = rng.uniform(0, 1, frames_eval[f].shape)
@@ -249,7 +370,7 @@ def main():
     was_lost = True
     t0 = time.time()
     for f in range(args.frames):
-        r = estimator.estimate(frames_eval[f], scene.Ks[f], frame_idx=f)
+        r = estimator.estimate(frames_eval[f], wscene.Ks[f], frame_idx=f)
         results.append(r)
         if r.tracked:
             n_track += 1
@@ -259,7 +380,8 @@ def main():
                 n_redetect += 1
         state_s = "TRACK" if r.tracked else "DETECT"
         if f in corrupt_ids or not r.success or f % 16 == 0:
-            print(f"  frame {f:3d}: {state_s} inliers {r.n_inliers:4d} "
+            print(f"  frame {f:3d}: {state_s} matches {r.n_matches:4d} "
+                  f"inliers {r.n_inliers:4d} "
                   f"{'ok' if r.success else 'LOST'}"
                   f"{' [corrupted]' if f in corrupt_ids else ''}")
         was_lost = not r.success
@@ -275,21 +397,77 @@ def main():
     )
     print(f"lost-track recovery: {'OK' if recovered else 'FAILED'}")
 
-    # --- held-out eval (corrupted frames excluded: no pose is recoverable) -
-    eval_clean = [int(f) for f in eval_ids if int(f) not in corrupt_ids]
+    # --- wild-sequence eval (ALL wild frames are held out; corrupted
+    # frames excluded: no pose is recoverable from noise) -------------------
+    eval_clean = [f for f in range(args.frames) if f not in corrupt_ids]
     gt_T = []
     for f in eval_clean:
         G = np.eye(4)
-        G[:3, :3] = Rotation.from_rotvec(scene.poses[f, :3]).as_matrix()
-        G[:3, 3] = scene.poses[f, 3:]
+        G[:3, :3] = Rotation.from_rotvec(wscene.poses[f, :3]).as_matrix()
+        G[:3, 3] = wscene.poses[f, 3:]
         gt_T.append(G)
     pred_T = np.stack([results[f].T44 for f in eval_clean])
     succ = np.asarray([results[f].success for f in eval_clean])
     rep = evaluate_poses(
         pred_T, np.stack(gt_T), model_points=sfm_map.keypoints3d,
-        K=scene.Ks[0], success=succ,
+        K=wscene.Ks[0], success=succ,
     )
-    print("held-out full-frame pose metrics:", rep.row())
+    print("wild-sequence pose metrics:", rep.row())
+
+    # --- diagnostic: oracle GT-box crops of the wild frames ----------------
+    # separates matcher scan->wild generalization from detector/crop issues:
+    # if this is healthy but the detector path is not, the crop box is the
+    # problem; if both collapse, the matcher does not transfer.
+    est_oracle = PoseEstimator(eval_cfg, eval_model, trained, sfm_map, None)
+    # training-view sanity: scan crops through the same estimator — if THIS
+    # is unhealthy the matcher/map themselves are broken, not the transfer
+    s_inl = []
+    for f in range(0, n_scan, max(1, n_scan // 8)):
+        r = est_oracle.estimate(crops[f], K_crops[f], frame_idx=1000 + f)
+        s_inl.append(r.n_inliers)
+    print(f"scan-view (train) sanity: inliers {s_inl}")
+    o_results = []
+    for f in eval_clean:
+        uv_box, _ = camera.project(
+            jnp.asarray(corners), jnp.asarray(wscene.poses[f]),
+            jnp.asarray(wscene.Ks[f]),
+        )
+        box = camera.square_box(camera.bbox_from_points(uv_box), pad_ratio=0.1)
+        crop_f, A3_f = img_ops.crop_image(
+            frames_eval[f], np.asarray(box), crop_hw
+        )
+        K_crop_f = np.asarray(
+            camera.crop_K(jnp.asarray(wscene.Ks[f]), box, crop_hw)
+        )
+        o_results.append(est_oracle.estimate(crop_f, K_crop_f, frame_idx=f))
+    o_pred = np.stack([r.T44 for r in o_results])
+    o_succ = np.asarray([r.success for r in o_results])
+    o_rep = evaluate_poses(
+        o_pred, np.stack(gt_T), model_points=sfm_map.keypoints3d,
+        K=wscene.Ks[0], success=o_succ,
+    )
+    o_inl = np.asarray([r.n_inliers for r in o_results])
+    o_mat = np.asarray([r.n_matches for r in o_results])
+    print(f"oracle-crop wild metrics (matches median {np.median(o_mat):.0f}, "
+          f"inliers median {np.median(o_inl):.0f}):", o_rep.row())
+
+    # --- optional temporal second pass (reference CoTracker phase) ---------
+    if args.refine == "correlation":
+        from onepose_st_tpu.infer.tracker import TemporalTracker, refine_sequence
+
+        ttracker = TemporalTracker(eval_model, trained)
+        t0 = time.time()
+        refined = refine_sequence(
+            eval_cfg, ttracker, frames_eval, results, wscene.Ks,
+        )
+        print(f"temporal refinement in {time.time()-t0:.1f}s "
+              f"({sum(1 for r in refined if r.gated is False)} accepted)")
+        pred_T_r = np.stack([refined[f].T44 for f in eval_clean])
+        rep_r = evaluate_poses(
+            pred_T_r, np.stack(gt_T), model_points=sfm_map.keypoints3d,
+            K=wscene.Ks[0], success=succ,
+        )
+        print("wild-sequence metrics (refined):", rep_r.row())
 
     # --- optional: repeat inference with the calibration net's inferred K --
     if args.calib_ckpt:
@@ -304,7 +482,7 @@ def main():
         rgb = (np.repeat(frames_eval[f][..., None], 3, axis=-1)
                for f in sample_ids)
         K_inf = infer_K(calib_model, calib_vars, rgb)
-        f_gt = scene.Ks[0][0, 0]
+        f_gt = wscene.Ks[0][0, 0]
         print(f"inferred K: f={K_inf[0, 0]:.1f}/{K_inf[1, 1]:.1f} px "
               f"(GT {f_gt:.1f}; err "
               f"{100 * abs(K_inf[1, 1] - f_gt) / f_gt:.1f}%)")
@@ -318,9 +496,9 @@ def main():
         succ_inf = np.asarray([results_inf[f].success for f in eval_clean])
         rep_inf = evaluate_poses(
             pred_T_inf, np.stack(gt_T), model_points=sfm_map.keypoints3d,
-            K=scene.Ks[0], success=succ_inf,
+            K=wscene.Ks[0], success=succ_inf,
         )
-        print("held-out metrics with INFERRED K:", rep_inf.row())
+        print("wild-sequence metrics with INFERRED K:", rep_inf.row())
         print(f"AP delta (3cm@3deg): GT-K {rep.aps['3cm@3degree']:.3f} -> "
               f"inferred-K {rep_inf.aps['3cm@3degree']:.3f}")
 

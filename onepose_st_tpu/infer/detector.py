@@ -38,6 +38,28 @@ class Detection(NamedTuple):
     success: bool
 
 
+def shift_box_into_frame(box: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    """Translate a crop box so it lies inside the frame when it fits.
+
+    A box hanging past the frame edge gets black warp-fill in the crop,
+    which is pure dead input for the matcher; shifting keeps the same box
+    size (so K_crop scale is unchanged) but maximizes real pixels. Boxes
+    larger than the frame are centered instead.
+    """
+    H, W = hw
+    x0, y0, x1, y1 = [float(v) for v in box]
+    bw, bh = x1 - x0, y1 - y0
+    if bw <= W:
+        dx = -x0 if x0 < 0 else min(0.0, W - x1)
+    else:
+        dx = (W - bw) / 2 - x0
+    if bh <= H:
+        dy = -y0 if y0 < 0 else min(0.0, H - y1)
+    else:
+        dy = (H - bh) / 2 - y0
+    return np.array([x0 + dx, y0 + dy, x1 + dx, y1 + dy], np.float32)
+
+
 class ObjectDetector:
     def __init__(self, loftr_model, loftr_variables, db: DetectorDB, crop_hw=(512, 512)):
         self.model = loftr_model
@@ -86,27 +108,41 @@ class ObjectDetector:
             np.float32,
         )
         sq = np.asarray(camera.square_box(jnp.asarray(box), pad_ratio=0.1))
+        sq = shift_box_into_frame(sq, query.shape[:2])
         return Detection(
             box=sq, n_matches=int(res.n_inliers), best_view=best,
             success=bool(res.success),
         )
 
     def previous_pose_detect(
-        self, pose6: np.ndarray, K: np.ndarray, box_corners3d: np.ndarray
+        self, pose6: np.ndarray, K: np.ndarray, box_corners3d: np.ndarray,
+        frame_hw: tuple[int, int] | None = None,
     ) -> Detection:
-        """Project the object's 3D box with the previous pose -> crop box."""
-        uv, depth = camera.project(
-            jnp.asarray(box_corners3d), jnp.asarray(pose6), jnp.asarray(K)
-        )
-        box = camera.bbox_from_points(uv)
-        sq = np.asarray(camera.square_box(box, pad_ratio=0.1))
-        ok = bool(np.all(np.asarray(depth) > 0))
+        """Project the object's 3D box with the previous pose -> crop box.
+
+        Pure host numpy: this runs EVERY tracked frame, and eager jnp ops
+        here each pay a device dispatch (over a tunnel, ~10 ms apiece —
+        measured as a major chunk of the closed-loop frame time).
+        """
+        from scipy.spatial.transform import Rotation
+
+        R = Rotation.from_rotvec(np.asarray(pose6[:3], np.float64)).as_matrix()
+        p_cam = np.asarray(box_corners3d, np.float64) @ R.T + pose6[3:6]
+        p_img = p_cam @ np.asarray(K, np.float64).T
+        depth = p_img[:, 2]
+        uv = p_img[:, :2] / (depth[:, None] + 1e-4)
+        lo, hi = uv.min(axis=0), uv.max(axis=0)
+        cx, cy = (lo + hi) * 0.5
+        half = float(max(hi[0] - lo[0], hi[1] - lo[1])) * 0.5 * 1.1
+        sq = np.array([cx - half, cy - half, cx + half, cy + half], np.float32)
+        if frame_hw is not None:
+            sq = shift_box_into_frame(sq, frame_hw)
+        ok = bool(np.all(depth > 0))
         return Detection(box=sq, n_matches=0, best_view=-1, success=ok)
 
     def crop(self, query: np.ndarray, det: Detection, K: np.ndarray):
-        """Crop the query frame + update intrinsics for the crop."""
+        """Crop the query frame + update intrinsics for the crop (host-only:
+        K_crop = A3 @ K with the same affine that warped the pixels)."""
         crop, A3 = img_ops.crop_image(query, det.box, self.crop_hw)
-        K_crop = np.asarray(
-            camera.crop_K(jnp.asarray(K), jnp.asarray(det.box), self.crop_hw)
-        )
+        K_crop = (A3 @ np.asarray(K, np.float32)).astype(np.float32)
         return crop, K_crop, A3

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig
-from ..core import so3
 from ..data import images as img_ops
 from ..sfm.map import SfMMap
 from ..solvers import ransac_pnp
@@ -105,7 +104,8 @@ class PoseEstimator:
             and self.box_corners3d is not None
         ):
             det = self.detector.previous_pose_detect(
-                self._prev_pose, K, self.box_corners3d
+                self._prev_pose, K, self.box_corners3d,
+                frame_hw=frame.shape[:2],
             )
             tracked = det.success
         if det is None or not det.success:
@@ -130,14 +130,20 @@ class PoseEstimator:
         tracked: bool,
         frame_idx: int,
     ) -> FrameResult:
+        from scipy.spatial.transform import Rotation
+
         cfg = self.cfg
         kpts, dc, df, mask = self._cloud
-        mk3d, mk2d, valid, res = self._fwd_pnp(
+        out_dev = self._fwd_pnp(
             self.variables, jnp.asarray(crop[None, ..., None]), kpts, dc, df, mask,
             jnp.asarray(K_crop), jax.random.key(frame_idx),
         )
+        # ONE batched device->host fetch for everything this frame needs:
+        # separate np.asarray() calls are separate transfers, each paying
+        # the tunnel round trip (~10 ms apiece)
+        mk3d, mk2d, valid, res = jax.device_get(out_dev)
         n_inl = int(res.n_inliers)
-        n_match = int(np.asarray(valid).sum())
+        n_match = int(valid.sum())
         success = bool(res.success) and n_inl >= cfg.pnp.min_inliers
         pose6 = np.asarray(res.pose6)
 
@@ -147,14 +153,15 @@ class PoseEstimator:
         else:
             self._lost = True  # re-detect next frame (reference :150-163)
 
-        R, t = so3.pose6_to_Rt(jnp.asarray(pose6))
         T44 = np.eye(4, dtype=np.float32)
-        T44[:3, :3] = np.asarray(R)
-        T44[:3, 3] = np.asarray(t)
+        T44[:3, :3] = Rotation.from_rotvec(
+            np.asarray(pose6[:3], np.float64)
+        ).as_matrix()
+        T44[:3, 3] = pose6[3:6]
 
         inl = np.asarray(res.inliers)
-        mk3d_np = np.asarray(mk3d)[inl]
-        mk2d_crop = np.asarray(mk2d)[inl]
+        mk3d_np = mk3d[inl]
+        mk2d_crop = mk2d[inl]
         # map crop coords back to full-image coords for the tracker
         mk2d_full = img_ops.warp_points_h(img_ops.invert_affine(A3), mk2d_crop)
         return FrameResult(

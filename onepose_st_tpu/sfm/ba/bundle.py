@@ -135,7 +135,7 @@ def _gn_step(poses, points, prob: BundleProblem, lam, chunk: int = 512,
     b_schur = all_reduce(bc - b_corr)                                # [F,6]
 
     # S correction: pair outer products, chunked over points
-    n_chunks = max(P // chunk, 1)
+    n_chunks = max(-(-P // chunk), 1)  # ceil: pad must never be negative
     Pc = n_chunks * chunk
     pad = Pc - P
     if pad:

@@ -208,3 +208,25 @@ def test_bundle_sharded_matches_single_device(rng):
         np.asarray(points_d), np.asarray(points_s), atol=5e-4
     )
     assert float(info_d.final_cost) < float(info_d.initial_cost) * 1e-2
+
+
+def test_bundle_point_count_not_multiple_of_chunk(rng):
+    """P > chunk with P % chunk != 0 exercised the negative-pad bug in the
+    Schur chunking (n_chunks floor-divided instead of ceil)."""
+    scene = synthetic.make_scene(rng, n_points=700, n_frames=6)
+    tracks = synthetic.make_tracks(scene, rng)
+    obs_frame, obs_uv, obs_mask = _bundle_problem(scene, tracks)
+    pts_gt = scene.points[tracks.point_ids]
+    pts0 = pts_gt + rng.normal(size=pts_gt.shape).astype(np.float32) * 0.005
+    prob = BundleProblem(
+        Ks=jnp.asarray(scene.Ks),
+        obs_frame=jnp.asarray(obs_frame),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_mask=jnp.asarray(obs_mask),
+        fixed_pose=jnp.ones(len(scene.poses), bool),
+    )
+    # default chunk=512 < P=700 and 700 % 512 != 0
+    poses, points, info = solve_bundle(
+        jnp.asarray(scene.poses), jnp.asarray(pts0), prob, max_iters=8
+    )
+    assert float(info.final_cost) < float(info.initial_cost)
