@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--scan_frames", type=int, default=96,
                     help="scan (annotate) phase length, split across "
                          "elevation rings")
+    ap.add_argument("--scan_rings", type=float, nargs="+",
+                    default=[0.08, -0.05, -0.18, -0.31],
+                    help="scan orbit-ring elevations (the reference captures "
+                         "~5 annotate sequences at different heights; rings "
+                         "bracketing the wild sequence's elevation band keep "
+                         "novel-view deltas small)")
     ap.add_argument("--points", type=int, default=400)
     ap.add_argument("--bg_points", type=int, default=700)
     ap.add_argument("--full_image", type=int, default=512)
@@ -110,7 +116,7 @@ def main():
         rng, n_points=args.points, n_bg=args.bg_points,
         n_frames=args.scan_frames, image_hw=(args.full_image, args.full_image),
         object_size=0.2, wander=0.0,
-        elevations=(0.05, -0.25), elevation_jitter=0.02, phase=0.33,
+        elevations=tuple(args.scan_rings), elevation_jitter=0.02, phase=0.33,
     )
     wild = synthetic.make_wild_scene(
         rng, n_frames=args.frames, image_hw=(args.full_image, args.full_image),

@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--image", type=int, default=256)
     ap.add_argument("--points", type=int, default=128)
     ap.add_argument("--motion", type=float, default=3.0)
+    ap.add_argument("--splat_prob", type=float, default=0.5,
+                    help="fraction of training clips from the splat-scene "
+                         "renderers (the pose pipeline's deployment domain; "
+                         "r2's homography-only tracker was OOD on them)")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="tracker_ckpt")
@@ -70,7 +74,8 @@ def main():
     T, H = cfg.window, args.image
 
     rng = np.random.default_rng(args.seed)
-    kw = dict(T=T, H=H, W=H, n_points=args.points, motion=args.motion)
+    kw = dict(T=T, H=H, W=H, n_points=args.points, motion=args.motion,
+              splat_prob=args.splat_prob)
     sample = tracker_data.make_batch(rng, args.batch, **kw)
     tx = tracker_train.make_optimizer(lr=args.lr, steps=args.steps)
     state = tracker_train.init_state(jax.random.key(args.seed), model, tx, sample)

@@ -122,12 +122,120 @@ def fit_calib(
     return model, variables, losses
 
 
+def rpv_from_Rt(R: np.ndarray, K: np.ndarray, height: int) -> tuple[float, float, float]:
+    """(roll_deg, rho_raw, vfov_deg) of a world->cam pose under the y-down
+    gravity convention — the label extractor for renderer-derived frames.
+
+    roll: in-plane angle of the gravity direction in the image;
+    rho_raw: normalized horizon offset in the same scaling the training
+    sampler uses (pitch = atan(rho_raw * 0.35 * H / fy));
+    vfov: from fy. Validated against the sampler's own construction in
+    tests/test_calib.py.
+    """
+    g_cam = R @ np.array([0.0, 1.0, 0.0])  # gravity (world +y, down) in cam
+    roll = math.degrees(math.atan2(-g_cam[0], g_cam[1]))
+    pitch = math.asin(max(-1.0, min(1.0, float(g_cam[2]))))
+    fy = float(K[1, 1])
+    rho_raw = math.tan(pitch) * fy / (0.35 * height)
+    vfov = math.degrees(2 * math.atan(height / 2 / fy))
+    return roll, rho_raw, vfov
+
+
+def wild_scene_calib_batch(
+    rng: np.random.Generator,
+    batch: int,
+    size: int = 224,
+    render_size: int = 512,
+    noise: float = 0.02,
+) -> CalibBatch:
+    """Single frames in the wild-scene deployment distribution (splat
+    object + background shell over the gravity-aligned grid, the renderer
+    of examples/full_frame_e2e.py), rendered at deployment resolution and
+    downsampled to the net's input size — thin grid lines antialias the
+    same way they do at inference. Cameras orbit an object like the wild
+    scenes but with explicit roll applied, so all three label heads get
+    coverage; labels verified by rpv_from_Rt (tests/test_calib.py)."""
+    import cv2
+
+    from ..data import synthetic
+
+    H = W = render_size
+    rolls = np.zeros(batch)
+    rhos = np.zeros(batch)
+    vfovs = np.zeros(batch)
+    imgs = np.zeros((batch, size, size, 3), np.float32)
+    b = 0
+    while b < batch:
+        object_size = 0.2
+        n_obj = int(rng.integers(150, 400))
+        n_bg = int(rng.integers(200, 600))
+        pts = rng.uniform(-object_size / 2, object_size / 2, (n_obj, 3))
+        d = rng.uniform(object_size * 1.5, object_size * 4.0, size=n_bg)
+        dirs = rng.normal(size=(n_bg, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        world = np.concatenate([pts, dirs * d[:, None]])
+        amps = rng.uniform(0.3, 1.0, size=len(world)).astype(np.float32)
+
+        focal = rng.uniform(0.55, 2.2) * render_size
+        K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
+        a = rng.uniform(0, 2 * np.pi)
+        # pitch range allowed by the rho bin table depends on focal
+        # (rho_raw = tan(pitch) * fy / (0.35 H) must stay within +-0.9);
+        # pick elevation to land inside it, so the rejection loop below
+        # almost never fires
+        pmax = math.atan(0.85 * 0.35 * H / focal)
+        pitch_want = rng.uniform(-pmax, pmax)
+        eye = np.array([
+            0.6 * np.cos(a), 0.6 * math.tan(pitch_want), 0.6 * np.sin(a)
+        ])
+        tgt = rng.uniform(-0.03, 0.03, size=3)
+        R0, _ = synthetic.look_at(eye, tgt)
+        roll_cam = math.radians(rng.uniform(-38.0, 38.0))
+        cr, sr = math.cos(roll_cam), math.sin(roll_cam)
+        Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
+        R = Rz @ R0
+        t = -R @ eye
+        roll, rho_raw, vfov = rpv_from_Rt(R, K, render_size)
+        if not (-40 <= roll <= 40 and -0.95 <= rho_raw <= 0.95
+                and 22 <= vfov <= 103):
+            continue
+        p_cam = world @ R.T + t
+        depth = p_cam[:, 2]
+        uvz = p_cam @ K.T
+        uv = uvz[:, :2] / np.clip(uvz[:, 2:], 1e-9, None)
+        vis = (
+            (depth > 0.05)
+            & (uv[:, 0] > 0) & (uv[:, 0] < W)
+            & (uv[:, 1] > 0) & (uv[:, 1] < H)
+        )
+        bgim = synthetic.ground_grid_background(R, t, K, (H, W))
+        img = synthetic.splat_image(
+            uv.astype(np.float32), depth.astype(np.float32), vis, amps,
+            (H, W), sigma_px=2.0, background=bgim,
+        )
+        if noise > 0:
+            img = np.clip(
+                img + rng.normal(size=img.shape).astype(np.float32) * noise,
+                0, 1,
+            ).astype(np.float32)
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+        imgs[b] = img[..., None]
+        rolls[b], rhos[b], vfovs[b] = roll, rho_raw, vfov
+        b += 1
+    return CalibBatch(
+        image=imgs, roll_deg=rolls, rho=rhos, vfov_deg=vfovs,
+        k1_hat=np.zeros(batch),
+    )
+
+
 def perspective_calib_batch(
     rng: np.random.Generator,
     batch: int,
     size: int = 224,
     noise: float = 0.02,
     clutter: int = 60,
+    render_size: int | None = None,
+    wild_frac: float = 0.0,
 ) -> CalibBatch:
     """Ground-grid renders whose geometry *exactly* encodes the targets.
 
@@ -141,14 +249,30 @@ def perspective_calib_batch(
     the role of scene content. k1 is fixed at 0 (pinhole); the reference's
     K inference (`data_utils._get_K:293-311`) uses only the focal/vFoV
     heads, which is what the pose pipeline consumes.
+
+    render_size: render at this resolution and downsample to `size` so
+    thin grid lines antialias the way deployment frames (512 px ->
+    resized) do. wild_frac: fraction of the batch drawn from
+    wild_scene_calib_batch (the pose pipeline's exact deployment
+    distribution).
     """
+    import cv2
+
     from ..data import synthetic
 
-    H = W = size
+    n_wild = int(round(batch * wild_frac))
+    if n_wild > 0:
+        wb = wild_scene_calib_batch(
+            rng, n_wild, size=size,
+            render_size=render_size or 512, noise=noise,
+        )
+    batch = batch - n_wild
+
+    H = W = render_size or size
     rolls = rng.uniform(-40.0, 40.0, size=batch)
     vfovs = rng.uniform(25.0, 100.0, size=batch)
     rhos = np.zeros(batch)
-    imgs = np.zeros((batch, H, W, 3), np.float32)
+    imgs = np.zeros((batch, size, size, 3), np.float32)
     for b in range(batch):
         fy = H / 2 / math.tan(math.radians(vfovs[b]) / 2)
         # sample rho uniformly in the valid bin range, derive pitch
@@ -197,11 +321,22 @@ def perspective_calib_batch(
                 img + rng.normal(size=img.shape).astype(np.float32) * noise,
                 0, 1,
             )
+        if H != size:
+            img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
         imgs[b] = img[..., None]  # grayscale replicated to RGB
-    return CalibBatch(
+    out = CalibBatch(
         image=imgs, roll_deg=rolls, rho=rhos, vfov_deg=vfovs,
         k1_hat=np.zeros(batch),
     )
+    if n_wild > 0:
+        out = CalibBatch(
+            image=np.concatenate([out.image, wb.image]),
+            roll_deg=np.concatenate([out.roll_deg, wb.roll_deg]),
+            rho=np.concatenate([out.rho, wb.rho]),
+            vfov_deg=np.concatenate([out.vfov_deg, wb.vfov_deg]),
+            k1_hat=np.concatenate([out.k1_hat, wb.k1_hat]),
+        )
+    return out
 
 
 def synthetic_calib_batch(

@@ -200,6 +200,14 @@ class SfMConfig:
     # BA
     ba_max_iters: int = 32
     ba_huber_px: float = 2.0
+    # "depth": per-track reference-view depth only (reference DeepLM
+    # parity, residual.py:6-79) — constrains each point to the ray through
+    # its GRID-QUANTIZED anchor keypoint (LoFTR's kpt0 is always a coarse
+    # cell center), which floors map reprojection error near the coarse
+    # quantization noise. "point": free 3-DoF point Gauss-Newton over ALL
+    # (fine-refined) observations with poses fixed — the anchor becomes
+    # one observation among M instead of defining the ray.
+    ba_mode: str = "point"
     # optional extrinsics+points global BA after the depth-only stage
     # (reference sfm_utils/global_ba.py `colmap bundle_adjuster` with
     # refine_extrinsics=1, intrinsics fixed); first two frames gauge-fixed

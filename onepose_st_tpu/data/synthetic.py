@@ -26,11 +26,20 @@ class Scene(NamedTuple):
 
 
 def look_at(eye: np.ndarray, target: np.ndarray, up=(0, -1, 0)) -> tuple[np.ndarray, np.ndarray]:
-    """World->cam (R, t) for a camera at `eye` looking at `target` (+z fwd)."""
+    """World->cam (R, t) for a camera at `eye` looking at `target` (+z fwd).
+
+    Axis convention: world up is `up` (y points DOWN by default across this
+    module); the camera's +y (image down) aligns with world-down, so
+    rendered frames have natural orientation — the ground-grid plane at
+    +y appears at the image bottom. (An earlier cross-product order made
+    image-down equal world-UP: every wild-scene render was upside-down,
+    which silently sabotaged gravity-cue consumers like the single-image
+    calibration net.)
+    """
     fwd = target - eye
     fwd = fwd / np.linalg.norm(fwd)
     upv = np.asarray(up, np.float64)
-    right = np.cross(upv, fwd)
+    right = np.cross(fwd, upv)
     right /= np.linalg.norm(right)
     down = np.cross(fwd, right)
     R = np.stack([right, down, fwd], axis=0)  # rows = camera axes in world

@@ -222,44 +222,74 @@ def build_map_from_matches(
     diag.n_triangulated = int(tri_valid.sum())
     _stage("triangulate")
 
-    # 4. depth-only LM refinement (reference DeepLM stage), depth from the
-    # triangulated point projected into the reference view
+    # 4. point refinement after DLT
     pts_tri = np.asarray(tri.points)
-    from ..core import so3 as so3_np  # jax fns used on host arrays
+    if sfm_cfg.ba_mode == "point":
+        # free 3-DoF point Gauss-Newton over all observations, poses fixed:
+        # the grid-quantized anchor keypoint is one observation among M,
+        # not the ray the point lives on (see SfMConfig.ba_mode)
+        from .ba.bundle import BundleProblem, solve_bundle
 
-    ref_pose = poses[assigned.ref_idx]
-    p_cam = np.asarray(
-        so3_np.pose6_apply(jnp.asarray(ref_pose), jnp.asarray(pts_tri))
-    )
-    depth0 = np.clip(p_cam[:, 2], 1e-3, None).astype(np.float32)
-    prob = DepthBAProblem(
-        kpt0=jnp.asarray(assigned.kpt0),
-        ref_idx=jnp.asarray(assigned.ref_idx),
-        obs_idx=jnp.asarray(assigned.obs_idx),
-        kpt1=jnp.asarray(assigned.kpt1),
-        mask=jnp.asarray(assigned.mask),
-        poses=jnp.asarray(poses),
-        Ks=jnp.asarray(Ks),
-    )
-    depth, info = jax.jit(solve_depth_ba, static_argnames=("max_iters",))(
-        jnp.asarray(depth0), prob, max_iters=cfg.sfm.ba_max_iters
-    )
-    diag.ba_initial_cost = float(info["initial_cost"])
-    diag.ba_final_cost = float(info["final_cost"])
-    _stage("depth_ba")
-
-    # unproject refined depths to world points
-    from ..core import camera as camera_ops
-
-    K0 = Ks[assigned.ref_idx]
-    p_cam_ref = np.asarray(
-        camera_ops.unproject(
-            jnp.asarray(assigned.kpt0), depth, jnp.asarray(K0)
+        tri_valid_np = tri_valid
+        pts_init = np.where(
+            tri_valid_np[:, None], pts_tri, np.float32(1.0)
+        ).astype(np.float32)
+        pprob = BundleProblem(
+            Ks=jnp.asarray(Ks),
+            obs_frame=jnp.asarray(obs_frame),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_mask=jnp.asarray(obs_mask & tri_valid_np[:, None]),
+            fixed_pose=jnp.ones(len(poses), bool),
+            huber_px=sfm_cfg.ba_huber_px,
         )
-    )
-    points = np.asarray(
-        camera_ops.cam_to_world(jnp.asarray(p_cam_ref), jnp.asarray(ref_pose))
-    )
+        _, pts_ref, pinfo = solve_bundle(
+            jnp.asarray(poses), jnp.asarray(pts_init), pprob,
+            max_iters=sfm_cfg.ba_max_iters,
+        )
+        points = np.asarray(pts_ref)
+        diag.ba_initial_cost = float(pinfo.initial_cost)
+        diag.ba_final_cost = float(pinfo.final_cost)
+        _stage("point_ba")
+    else:
+        # depth-only LM refinement (reference DeepLM parity), depth from
+        # the triangulated point projected into the reference view
+        from ..core import so3 as so3_np  # jax fns used on host arrays
+
+        ref_pose = poses[assigned.ref_idx]
+        p_cam = np.asarray(
+            so3_np.pose6_apply(jnp.asarray(ref_pose), jnp.asarray(pts_tri))
+        )
+        depth0 = np.clip(p_cam[:, 2], 1e-3, None).astype(np.float32)
+        prob = DepthBAProblem(
+            kpt0=jnp.asarray(assigned.kpt0),
+            ref_idx=jnp.asarray(assigned.ref_idx),
+            obs_idx=jnp.asarray(assigned.obs_idx),
+            kpt1=jnp.asarray(assigned.kpt1),
+            mask=jnp.asarray(assigned.mask),
+            poses=jnp.asarray(poses),
+            Ks=jnp.asarray(Ks),
+        )
+        depth, info = jax.jit(solve_depth_ba, static_argnames=("max_iters",))(
+            jnp.asarray(depth0), prob, max_iters=cfg.sfm.ba_max_iters
+        )
+        diag.ba_initial_cost = float(info["initial_cost"])
+        diag.ba_final_cost = float(info["final_cost"])
+        _stage("depth_ba")
+
+        # unproject refined depths to world points
+        from ..core import camera as camera_ops
+
+        K0 = Ks[assigned.ref_idx]
+        p_cam_ref = np.asarray(
+            camera_ops.unproject(
+                jnp.asarray(assigned.kpt0), depth, jnp.asarray(K0)
+            )
+        )
+        points = np.asarray(
+            camera_ops.cam_to_world(
+                jnp.asarray(p_cam_ref), jnp.asarray(ref_pose)
+            )
+        )
 
     # 4b. optional global BA: extrinsics + points refined jointly, first
     # two frames gauge-fixed, intrinsics held (reference global_ba.py
@@ -366,7 +396,19 @@ def build_map_from_matches(
     diag.n_after_filters = len(merged)
     _stage("merge")
 
-    err = np.asarray(tri.reproj_err)[keep]
+    # reprojection error of the FINAL refined points over their
+    # observations (tri.reproj_err reflects the pre-refinement DLT)
+    from ..core import camera as cam_ops
+
+    uv_hat, _ = cam_ops.project(
+        jnp.asarray(points)[:, None, :],                    # [T, 1, 3]
+        jnp.asarray(poses)[np.asarray(obs_frame)],          # [T, M+1, 6]
+        jnp.asarray(Ks)[np.asarray(obs_frame)],
+    )
+    per_obs = np.linalg.norm(np.asarray(uv_hat) - obs_uv, axis=-1)
+    m = obs_mask
+    per_track = (per_obs * m).sum(axis=1) / np.maximum(m.sum(axis=1), 1)
+    err = per_track[keep]
     diag.mean_reproj_err_px = float(err.mean()) if len(err) else 0.0
     # (the reference reads mean track length off `colmap model_analyzer`,
     # triangulation.py:232-250; +1 counts the reference observation)

@@ -165,10 +165,161 @@ def make_clip(
     )
 
 
+def make_splat_clip(
+    rng: np.random.Generator,
+    T: int = 8,
+    H: int = 256,
+    W: int = 256,
+    n_points: int = 128,
+    deg_per_frame: float = 3.0,
+    full_frame: bool = False,
+    occluder: bool = True,
+    noise: float = 0.02,
+) -> TrackingClip:
+    """In-domain clip: an orbit-arc segment of a splat object, GT tracks =
+    the object points' exact projections.
+
+    The homography clips above cover generic texture motion but are
+    out-of-domain for the pose pipeline's renderers (r2 finding: the
+    learned tracker's visibility head scored every splat-scene point
+    <0.25, zero usable tracks). These clips ARE the deployment domain:
+    splat blobs over a flat or ground-grid background, slow orbital
+    parallax, queries at blob centers like real PnP-inlier queries.
+    full_frame=True renders the wild-scene variant (off-center object,
+    background splats, gravity-aligned grid).
+    """
+    from ..data import synthetic as syn
+
+    n_obj = int(rng.integers(200, 400))
+    object_size = 0.2
+    radius = 0.6
+    pts = rng.uniform(-object_size / 2, object_size / 2, size=(n_obj, 3))
+    a0 = rng.uniform(0, 2 * np.pi)
+    elev = rng.uniform(-0.2, 0.2)
+    step = np.deg2rad(deg_per_frame) * rng.choice([-1.0, 1.0])
+    if full_frame:
+        focal = 1.4 * min(H, W)
+        tgt0 = rng.uniform(-0.1, 0.1, size=3)
+    else:
+        span = rng.uniform(0.5, 0.8)
+        focal = span * min(H, W) * radius / object_size
+        tgt0 = np.zeros(3)
+
+    n_bg = int(rng.integers(150, 350)) if full_frame else 0
+    if n_bg:
+        d = rng.uniform(object_size * 1.5, object_size * 4.0, size=n_bg)
+        dirs = rng.normal(size=(n_bg, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        bg = (dirs * d[:, None]).astype(np.float32)
+    else:
+        bg = np.zeros((0, 3), np.float32)
+    world = np.concatenate([pts, bg]).astype(np.float32)
+    amps = rng.uniform(0.3, 1.0, size=len(world)).astype(np.float32)
+    K = np.array(
+        [[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32
+    )
+
+    frames = np.empty((T, H, W), np.float32)
+    uv_all = np.empty((T, len(world), 2), np.float32)
+    vis_all = np.empty((T, len(world)), bool)
+    for t in range(T):
+        a = a0 + t * step
+        eye = np.array([radius * np.cos(a), elev, radius * np.sin(a)])
+        R, tr = syn.look_at(eye, tgt0)
+        p_cam = world @ R.T + tr
+        depth = p_cam[:, 2]
+        uvz = p_cam @ K.T
+        uv = uvz[:, :2] / np.clip(uvz[:, 2:], 1e-9, None)
+        vis = (
+            (depth > 0.05)
+            & (uv[:, 0] > 0) & (uv[:, 0] < W)
+            & (uv[:, 1] > 0) & (uv[:, 1] < H)
+        )
+        uv_all[t] = uv
+        vis_all[t] = vis
+        bgim = 0.15
+        if full_frame and rng.uniform() < 0.9:
+            bgim = syn.ground_grid_background(R, tr, K.astype(np.float64), (H, W))
+        frames[t] = syn.splat_image(
+            uv, depth, vis, amps, (H, W), sigma_px=2.0, background=bgim
+        )
+
+    occ_boxes = np.zeros((T, 4), np.float32)
+    if occluder and rng.uniform() < 0.5:
+        cw, ch = rng.uniform(0.12, 0.3, size=2) * np.array([W, H])
+        cx, cy = rng.uniform(0.2, 0.8, size=2) * np.array([W, H])
+        vx, vy = rng.normal(size=2) * 3.0
+        shade = rng.uniform(0, 1)
+        for t in range(T):
+            x0, y0 = cx - cw / 2, cy - ch / 2
+            occ_boxes[t] = (x0, y0, x0 + cw, y0 + ch)
+            cv2.rectangle(
+                frames[t], (int(x0), int(y0)), (int(x0 + cw), int(y0 + ch)),
+                shade, -1,
+            )
+            cx, cy = cx + vx, cy + vy
+    if noise > 0:
+        frames = np.clip(
+            frames + rng.normal(size=frames.shape).astype(np.float32) * noise,
+            0, 1,
+        ).astype(np.float32)
+
+    # queries: object points visible at a random birth frame, placed at the
+    # blob center +- jitter (real queries are PnP inliers on blobs)
+    query_frame = rng.integers(0, T, size=n_points).astype(np.int32)
+    query_uv = np.empty((n_points, 2), np.float32)
+    obj_ids = np.empty(n_points, np.int64)
+    for i in range(n_points):
+        b = query_frame[i]
+        cand = np.nonzero(vis_all[b, :n_obj])[0]
+        if len(cand) == 0:
+            cand = np.arange(n_obj)
+        p = int(rng.choice(cand))
+        obj_ids[i] = p
+        query_uv[i] = uv_all[b, p] + rng.normal(size=2) * 1.0
+
+    gt_uv = uv_all[:, obj_ids] + (query_uv - uv_all[query_frame, obj_ids])[None]
+    inb = vis_all[:, obj_ids]
+    occ = (
+        (gt_uv[..., 0] >= occ_boxes[:, None, 0])
+        & (gt_uv[..., 0] <= occ_boxes[:, None, 2])
+        & (gt_uv[..., 1] >= occ_boxes[:, None, 1])
+        & (gt_uv[..., 1] <= occ_boxes[:, None, 3])
+    )
+    gt_vis = inb & ~occ
+
+    return TrackingClip(
+        frames=frames,
+        query_uv=query_uv,
+        query_frame=query_frame,
+        gt_uv=gt_uv.astype(np.float32),
+        gt_vis=gt_vis,
+        point_mask=np.ones(n_points, bool),
+    )
+
+
 def make_batch(
-    rng: np.random.Generator, batch: int, **kw
+    rng: np.random.Generator,
+    batch: int,
+    splat_prob: float = 0.0,
+    full_frame_prob: float = 0.5,
+    **kw,
 ) -> dict[str, np.ndarray]:
-    clips = [make_clip(rng, **kw) for _ in range(batch)]
+    """Mixed-domain batch: homography clips + splat-scene clips
+    (splat_prob fraction; of those, full_frame_prob are wild-frame style)."""
+    clips = []
+    splat_kw = {
+        k: v for k, v in kw.items()
+        if k in ("T", "H", "W", "n_points", "occluder", "noise")
+    }
+    for _ in range(batch):
+        if rng.uniform() < splat_prob:
+            clips.append(make_splat_clip(
+                rng, full_frame=bool(rng.uniform() < full_frame_prob),
+                **splat_kw,
+            ))
+        else:
+            clips.append(make_clip(rng, **kw))
     return {
         "frames": np.stack([c.frames for c in clips]),
         "query_uv": np.stack([c.query_uv for c in clips]),

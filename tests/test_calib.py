@@ -128,3 +128,45 @@ def test_layercam(rng):
     cam2, _ = layercam(model, variables, img, head="roll", target_bin=3)
     up = np.asarray(upsample(cam2, (32, 32)))
     assert up.shape == (2, 32, 32)
+
+
+def test_rpv_from_Rt_matches_sampler_construction():
+    """The label extractor must invert the perspective sampler's R build
+    (R = R_roll @ R_pitch, y-down gravity) exactly."""
+    import math
+
+    from onepose_st_tpu.calib.train import rpv_from_Rt
+
+    H = 256
+    for roll_deg, rho_raw, vfov_deg in (
+        (12.0, 0.4, 55.0), (-30.0, -0.7, 80.0), (0.0, 0.0, 30.0),
+        (38.0, 0.9, 95.0),
+    ):
+        fy = H / 2 / math.tan(math.radians(vfov_deg) / 2)
+        pitch = math.atan(rho_raw * 0.35 * H / fy)
+        roll = math.radians(roll_deg)
+        cp, sp = math.cos(pitch), math.sin(pitch)
+        cr, sr = math.cos(roll), math.sin(roll)
+        R_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        R_roll = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
+        R = R_roll @ R_pitch
+        K = np.array([[fy, 0, H / 2], [0, fy, H / 2], [0, 0, 1]])
+        r, rho, v = rpv_from_Rt(R, K, H)
+        assert abs(r - roll_deg) < 1e-6, (r, roll_deg)
+        assert abs(rho - rho_raw) < 1e-6, (rho, rho_raw)
+        assert abs(v - vfov_deg) < 1e-6, (v, vfov_deg)
+
+
+def test_wild_scene_calib_batch_shapes(rng):
+    from onepose_st_tpu.calib.train import (
+        perspective_calib_batch, wild_scene_calib_batch,
+    )
+
+    b = wild_scene_calib_batch(rng, 3, size=64, render_size=128)
+    assert b.image.shape == (3, 64, 64, 3)
+    assert np.all(np.abs(b.roll_deg) <= 40)
+    assert np.all((b.vfov_deg >= 22) & (b.vfov_deg <= 103))
+    mixed = perspective_calib_batch(
+        rng, 4, size=64, render_size=128, wild_frac=0.5
+    )
+    assert mixed.image.shape == (4, 64, 64, 3)
