@@ -48,6 +48,15 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="ckpts/calib")
     ap.add_argument("--eval_n", type=int, default=128)
+    ap.add_argument("--render_size", type=int, default=512,
+                    help="render training images at this resolution and "
+                         "downsample to the net input (deployment frames "
+                         "are 512 px resized down — thin grid lines must "
+                         "antialias the same way)")
+    ap.add_argument("--wild_frac", type=float, default=0.3,
+                    help="fraction of each batch from the wild-scene "
+                         "deployment renderer (calib/train."
+                         "wild_scene_calib_batch)")
     args = ap.parse_args()
 
     import jax
@@ -63,9 +72,31 @@ def main():
     size = cfg.image_size
     rng = np.random.default_rng(args.seed)
 
+    bkw = dict(
+        size=size, render_size=args.render_size, wild_frac=args.wild_frac
+    )
+
     def batches():
+        # threaded prefetch: high-res render + downsample is host work that
+        # would otherwise serialize with the device step
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def worker(wrng):
+            while True:
+                q.put(calib_train.perspective_calib_batch(
+                    wrng, args.batch, **bkw
+                ))
+
+        for w in range(2):
+            threading.Thread(
+                target=worker, args=(np.random.default_rng([args.seed, w]),),
+                daemon=True,
+            ).start()
         while True:
-            yield calib_train.perspective_calib_batch(rng, args.batch, size=size)
+            yield q.get()
 
     t0 = time.time()
     model, variables, losses = calib_train.fit_calib(
@@ -77,31 +108,48 @@ def main():
           f"(final nll {losses[-1]:.4f})")
     cfg_lib.save_model_config(args.out, cfg)
 
-    # --- held-out eval -----------------------------------------------------
-    erng = np.random.default_rng(args.seed + 999)
-    focal_errs, roll_errs, rho_errs, vfov_bin_hits = [], [], [], []
-    n_done = 0
-    while n_done < args.eval_n:
-        tb = calib_train.perspective_calib_batch(erng, 16, size=size)
-        for b in range(16):
-            res = calibrate_image(model, variables, tb.image[b])
-            f_gt = size / 2 / math.tan(math.radians(tb.vfov_deg[b]) / 2)
-            focal_errs.append(abs(res.focal_length_pixels - f_gt) / f_gt)
-            roll_errs.append(abs(res.roll - tb.roll_deg[b]))
-            rho_errs.append(abs(res.rho / 0.35 - tb.rho[b]))
-            vfov_bin_hits.append(
-                abs(res.vertical_fov - tb.vfov_deg[b]) <= 85.0 / 255 * 3
-            )
-            n_done += 1
+    # --- held-out eval: perspective domain AND the wild deployment domain --
+    def run_eval(make_batch, label):
+        erng = np.random.default_rng(args.seed + 999)
+        focal_errs, roll_errs, rho_errs, vfov_bin_hits = [], [], [], []
+        n_done = 0
+        while n_done < args.eval_n:
+            tb = make_batch(erng, 16)
+            for b in range(16):
+                res = calibrate_image(model, variables, tb.image[b])
+                f_gt = size / 2 / math.tan(math.radians(tb.vfov_deg[b]) / 2)
+                focal_errs.append(abs(res.focal_length_pixels - f_gt) / f_gt)
+                roll_errs.append(abs(res.roll - tb.roll_deg[b]))
+                rho_errs.append(abs(res.rho / 0.35 - tb.rho[b]))
+                vfov_bin_hits.append(
+                    abs(res.vertical_fov - tb.vfov_deg[b]) <= 85.0 / 255 * 3
+                )
+                n_done += 1
+        rep = {
+            "median_focal_err_pct": round(100 * float(np.median(focal_errs)), 2),
+            "p90_focal_err_pct": round(100 * float(np.percentile(focal_errs, 90)), 2),
+            "median_roll_err_deg": round(float(np.median(roll_errs)), 2),
+            "median_rho_err": round(float(np.median(rho_errs)), 3),
+            "vfov_within_3bins": round(float(np.mean(vfov_bin_hits)), 3),
+            "n_eval": n_done,
+        }
+        print(f"held-out calibration [{label}]:", json.dumps(rep))
+        return rep
+
     rep = {
-        "median_focal_err_pct": round(100 * float(np.median(focal_errs)), 2),
-        "p90_focal_err_pct": round(100 * float(np.percentile(focal_errs, 90)), 2),
-        "median_roll_err_deg": round(float(np.median(roll_errs)), 2),
-        "median_rho_err": round(float(np.median(rho_errs)), 3),
-        "vfov_within_3bins": round(float(np.mean(vfov_bin_hits)), 3),
-        "n_eval": n_done,
+        "perspective": run_eval(
+            lambda r, n: calib_train.perspective_calib_batch(
+                r, n, size=size, render_size=args.render_size, wild_frac=0.0
+            ),
+            "perspective",
+        ),
+        "wild": run_eval(
+            lambda r, n: calib_train.wild_scene_calib_batch(
+                r, n, size=size, render_size=args.render_size
+            ),
+            "wild deployment",
+        ),
     }
-    print("held-out calibration:", json.dumps(rep))
     (Path(args.out) / "eval.json").write_text(json.dumps(rep, indent=1))
     print(f"checkpoint + model_config.json in {args.out}")
 

@@ -18,10 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import camera
 from ..data import images as img_ops
 from ..solvers import ransac_affine
-from ..solvers.affine import warp_points
 
 
 class DetectorDB(NamedTuple):
@@ -66,23 +64,26 @@ class ObjectDetector:
         self.variables = loftr_variables
         self.db = db
         self.crop_hw = crop_hw
-        self._apply = jax.jit(
-            lambda v, a, b: {
-                k: out[k]
-                for out in [loftr_model.apply(v, a, b)]
-                for k in ("mkpts0_c", "mkpts1_f", "mconf", "valid")
-            }
-        )
+        # DB views live on device once — re-uploading V full frames per
+        # cold start costs ~1 MB/view over the tunnel
+        self._img0_dev = jnp.asarray(db.images[..., None])
+
+        def apply_all(v, img0, query):
+            img1 = jnp.broadcast_to(
+                query[None], (img0.shape[0], *query.shape)
+            )
+            out = loftr_model.apply(v, img0, img1)
+            return {k: out[k] for k in ("mkpts0_c", "mkpts1_f", "mconf", "valid")}
+
+        self._apply = jax.jit(apply_all)
 
     def detect(self, query: np.ndarray, rng_seed: int = 0) -> Detection:
         """Match query against every DB view; affine-warp the best box."""
-        V = len(self.db.images)
-        img0 = jnp.asarray(self.db.images[..., None])          # DB views
-        img1 = jnp.asarray(
-            np.repeat(query[None, ..., None], V, axis=0)
+        out_dev = self._apply(
+            self.variables, self._img0_dev, jnp.asarray(query[..., None])
         )
-        out = self._apply(self.variables, img0, img1)
-        valid = np.asarray(out["valid"])
+        out = jax.device_get(out_dev)  # one batched fetch
+        valid = out["valid"]
         n_per_view = valid.sum(axis=1)
         best = int(np.argmax(n_per_view))
         if n_per_view[best] < 8:
@@ -97,17 +98,17 @@ class ObjectDetector:
             jnp.asarray(valid[best]),
             threshold_px=8.0,
         )
+        A = np.asarray(res.A)
         x0, y0, x1, y1 = self.db.boxes[best]
-        corners = jnp.asarray(
-            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=jnp.float32
+        corners = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32
         )
-        warped = np.asarray(warp_points(res.A, corners))
-        box = np.array(
-            [warped[:, 0].min(), warped[:, 1].min(),
-             warped[:, 0].max(), warped[:, 1].max()],
-            np.float32,
-        )
-        sq = np.asarray(camera.square_box(jnp.asarray(box), pad_ratio=0.1))
+        warped = corners @ A[:2, :2].T + A[:2, 2]
+        lo = warped.min(axis=0)
+        hi = warped.max(axis=0)
+        cx, cy = (lo + hi) * 0.5
+        half = float(max(hi[0] - lo[0], hi[1] - lo[1])) * 0.5 * 1.1
+        sq = np.array([cx - half, cy - half, cx + half, cy + half], np.float32)
         sq = shift_box_into_frame(sq, query.shape[:2])
         return Detection(
             box=sq, n_matches=int(res.n_inliers), best_view=best,

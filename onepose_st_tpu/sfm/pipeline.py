@@ -397,17 +397,27 @@ def build_map_from_matches(
     _stage("merge")
 
     # reprojection error of the FINAL refined points over their
-    # observations (tri.reproj_err reflects the pre-refinement DLT)
+    # observations (tri.reproj_err reflects the pre-refinement DLT).
+    # NOTE: rebuilt from `assigned` — the descriptor block above reuses
+    # the obs_uv name for its flat observation table.
     from ..core import camera as cam_ops
 
+    d_frame = np.concatenate(
+        [assigned.ref_idx[:, None], assigned.obs_idx], axis=1
+    )
+    d_uv = np.concatenate([assigned.kpt0[:, None], assigned.kpt1], axis=1)
+    d_mask = np.concatenate(
+        [np.ones((T, 1), bool), assigned.mask], axis=1
+    )
     uv_hat, _ = cam_ops.project(
         jnp.asarray(points)[:, None, :],                    # [T, 1, 3]
-        jnp.asarray(poses)[np.asarray(obs_frame)],          # [T, M+1, 6]
-        jnp.asarray(Ks)[np.asarray(obs_frame)],
+        jnp.asarray(poses)[d_frame],                        # [T, M+1, 6]
+        jnp.asarray(Ks)[d_frame],
     )
-    per_obs = np.linalg.norm(np.asarray(uv_hat) - obs_uv, axis=-1)
-    m = obs_mask
-    per_track = (per_obs * m).sum(axis=1) / np.maximum(m.sum(axis=1), 1)
+    per_obs = np.linalg.norm(np.asarray(uv_hat) - d_uv, axis=-1)
+    per_track = (per_obs * d_mask).sum(axis=1) / np.maximum(
+        d_mask.sum(axis=1), 1
+    )
     err = per_track[keep]
     diag.mean_reproj_err_px = float(err.mean()) if len(err) else 0.0
     # (the reference reads mean track length off `colmap model_analyzer`,

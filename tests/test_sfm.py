@@ -465,3 +465,35 @@ def test_filter_by_bbox_any_corner_ordering(rng):
     gt = np.all(np.abs(local) <= extent / 2 + 1e-9, axis=-1)
     np.testing.assert_array_equal(m_camera, gt)
     assert 0 < gt.sum() < len(pts)
+
+
+def test_build_map_with_sampler_reports_final_reproj(rng):
+    """The reproj diagnostic must survive the descriptor-aggregation block
+    (which reuses local names for its flat observation table) and reflect
+    the point-refined map (well under the 0.3 px observation noise * DLT)."""
+    from onepose_st_tpu import config as cfg_lib
+
+    scene = synthetic.make_scene(rng, n_points=100, n_frames=8)
+    pms = []
+    for i in range(8):
+        for j in range(i + 1, 8):
+            vis = scene.visible[i] & scene.visible[j]
+            ids = np.nonzero(vis)[0]
+            if len(ids) < 8:
+                continue
+            noise = rng.normal(size=(len(ids), 2)).astype(np.float32) * 0.3
+            pms.append(tracks.PairMatches(
+                i, j, scene.uv[i, ids].astype(np.float32),
+                scene.uv[j, ids].astype(np.float32) + noise,
+                np.ones(len(ids), np.float32),
+            ))
+    stub = lambda img, uv: (  # noqa: E731
+        np.ones((len(uv), 256), np.float32),
+        np.ones((len(uv), 128), np.float32),
+    )
+    m, d = pipeline.build_map_from_matches(
+        pms, scene.poses, scene.Ks, cfg_lib.EngineConfig(),
+        sample_descriptors=stub,
+    )
+    assert len(m.keypoints3d) > 50
+    assert 0 < d.mean_reproj_err_px < 0.6
