@@ -31,7 +31,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--loftr_ckpt", required=True)
-    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--frames", type=int, default=48,
+                    help="48 -> 7.5deg orbit steps; covis pairs then span "
+                         "10-25deg like the e2e scan pair distribution")
+    ap.add_argument("--max_warp_deg", type=float, default=10.0)
     ap.add_argument("--points", type=int, default=400)
     ap.add_argument("--image", type=int, default=256)
     ap.add_argument("--pairs", type=int, default=24)
@@ -79,8 +82,8 @@ def main():
     errs_c, errs_f = [], []
     S = args.image
     for f in range(0, args.frames, max(1, args.frames // 8)):
-        ang = rng.uniform(-25, 25)
-        sc = rng.uniform(0.85, 1.15)
+        ang = rng.uniform(-args.max_warp_deg, args.max_warp_deg)
+        sc = rng.uniform(0.92, 1.08)
         tx, ty = rng.uniform(-0.08 * S, 0.08 * S, size=2)
         M = cv2.getRotationMatrix2D((S / 2, S / 2), ang, sc)
         M[:, 2] += (tx, ty)

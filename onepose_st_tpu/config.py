@@ -192,6 +192,12 @@ class SfMConfig:
     max_matches_per_pair: int = 2048
     # track capacities for BA (reference pads to max_track_length)
     max_track_length: int = 16
+    # keypoint-merge grid (px). 2.0 keeps sub-pixel (symmetric-fine) anchors
+    # of one feature on a stable key while still separating distinct coarse
+    # cells (centers 8 px apart); score-weighted float averaging preserves
+    # the sub-pixel coordinate either way. The reference merges on its int
+    # grid (coarse_match.py:188-214).
+    merge_quant_px: float = 2.0
     # two-view geometric verification
     epipolar_threshold_px: float = 4.0
     # triangulation acceptance

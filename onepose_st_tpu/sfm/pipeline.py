@@ -182,7 +182,8 @@ def build_map_from_matches(
     # 2. merge keypoints, build tracks, choose reference views (native C++
     # engine when available; python fallback — identical outputs)
     kp, assigned = tracks_mod.process_matches(
-        len(poses), verified, max_track_length=sfm_cfg.max_track_length
+        len(poses), verified, quant=sfm_cfg.merge_quant_px,
+        max_track_length=sfm_cfg.max_track_length,
     )
     diag.n_tracks = len(assigned.ref_idx)
     if diag.n_tracks == 0:
@@ -445,6 +446,7 @@ def match_pairs_loftr(
     pairs: np.ndarray,         # [n, 2] int
     batch_size: int = 8,
     mesh=None,
+    symmetric_fine: bool = True,
 ) -> list[tracks_mod.PairMatches]:
     """Run the 2D-2D matcher over the covisibility pairs, batched on device.
 
@@ -457,6 +459,13 @@ def match_pairs_loftr(
     weights replicated — the pair list fans out across all chips (the
     reference's multi-GPU Ray pool, as one SPMD program). batch_size is then
     per-device.
+
+    symmetric_fine (our improvement over the reference): LoFTR refines only
+    the image-1 side of every match; the image-0 anchor stays an 8-px
+    coarse cell center, and that quantization propagates into every track
+    observation downstream. A second fine pass with the window roles
+    swapped refines the anchors too, for ~15% extra compute (the fine
+    stage is small next to backbone + coarse attention).
     """
     if images.ndim == 3:
         images = images[..., None]
@@ -470,7 +479,31 @@ def match_pairs_loftr(
         batch_size = batch_size * n_dev
         variables = mesh_lib.replicate_pytree(variables, mesh)
         batch_spec = mesh_lib.shard_batch(mesh)
-    apply = jax.jit(lambda v, a, b: model.apply(v, a, b))
+
+    if symmetric_fine:
+        cls = type(model)
+
+        def _fwd(v, a, b):
+            c = model.apply(v, a, b, method=cls.coarse)
+            m = c["matches"]
+            f01 = model.apply(
+                v, c["feat_f0"], c["feat_f1"], m.i_ids, m.j_ids,
+                c["coarse_hw"], method=cls.fine,
+            )
+            f10 = model.apply(
+                v, c["feat_f1"], c["feat_f0"], m.j_ids, m.i_ids,
+                c["coarse_hw"], method=cls.fine,
+            )
+            return {
+                "mkpts0_c": f10["mkpts1_f"],  # refined anchors
+                "mkpts1_f": f01["mkpts1_f"],
+                "mconf": m.conf,
+                "valid": m.valid,
+            }
+
+        apply = jax.jit(_fwd)
+    else:
+        apply = jax.jit(lambda v, a, b: model.apply(v, a, b))
     out_list: list[tracks_mod.PairMatches] = []
     for s in range(0, n, batch_size):
         chunk = pairs[s : s + batch_size]

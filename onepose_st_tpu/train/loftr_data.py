@@ -228,6 +228,16 @@ def loftr_batches(
     S = (H // stride) * (W // stride)
     aug = augment.PhotometricAug(photometric) if photometric != "none" else None
     textures = [texture_image(rng, H, W) for _ in range(n_textures)]
+    if bank is not None:
+        # in-domain homography bases: rendered scene frames get exact-GT
+        # warps too, so the fine head learns sub-pixel localization on the
+        # SAME content the SfM pairs show. (r3 probe: the r2 checkpoint's
+        # fine head hit 0.47 px on noise textures but regressed to the
+        # +4 px prior of its target distribution on splat renders — the
+        # fine supervision was effectively texture-only.)
+        for fr in bank.frames:
+            step_f = max(1, len(fr) // 8)
+            textures.extend(np.asarray(fr[i]) for i in range(0, len(fr), step_f))
     hkw = homography_kwargs or {}
     while True:
         im0 = np.zeros((batch_size, H, W, 1), np.float32)
