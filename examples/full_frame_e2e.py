@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--loftr_matches_for_map", action="store_true",
                     help="build the map from LoFTR matches over covis pairs "
                          "instead of GT correspondences")
+    ap.add_argument("--strict_map", action="store_true",
+                    help="tight SfM gates (epipolar 1.5 px, reproj 2 px, "
+                         "huber 1 px); see synthetic_e2e --strict_map")
     ap.add_argument("--no_box_mask", action="store_true",
                     help="ablation: skip masking SfM matches to the "
                          "projected object box")
@@ -107,6 +110,11 @@ def main():
     enable_compilation_cache()
     print(f"devices: {jax.devices()}")
     cfg = build_cfg(args.preset)
+    if args.strict_map:
+        cfg = cfg_lib.replace(cfg, sfm=cfg_lib.replace(
+            cfg.sfm, epipolar_threshold_px=1.5, max_reproj_error_px=2.0,
+            ba_huber_px=1.0,
+        ))
     rng = np.random.default_rng(args.seed)
     from scipy.spatial.transform import Rotation
 

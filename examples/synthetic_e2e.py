@@ -128,6 +128,10 @@ def main():
                          "reference's post-optimization fine_matcher pass)")
     ap.add_argument("--covis_num", type=int, default=10,
                     help="pose-covisibility pairs per image (sfm_demo.yaml)")
+    ap.add_argument("--strict_map", action="store_true",
+                    help="tight SfM gates (epipolar 1.5 px, reproj 2 px, "
+                         "huber 1 px) — affordable once fine matching is "
+                         "sub-pixel; cuts along-epipolar-line mismatches")
     ap.add_argument("--min_rotation", type=float, default=10.0,
                     help="min relative rotation (deg) for a covis pair")
     args = ap.parse_args()
@@ -148,6 +152,13 @@ def main():
     enable_compilation_cache()
     print(f"devices: {jax.devices()}")
     cfg = build_cfg(args.preset)
+    if args.strict_map:
+        # sub-pixel fine matching makes tight gates affordable: mismatches
+        # sliding along epipolar lines are the residual observation noise
+        cfg = cfg_lib.replace(cfg, sfm=cfg_lib.replace(
+            cfg.sfm, epipolar_threshold_px=1.5, max_reproj_error_px=2.0,
+            ba_huber_px=1.0,
+        ))
     rng = np.random.default_rng(args.seed)
 
     # --- scene + rendering -------------------------------------------------
