@@ -91,6 +91,21 @@ def main():
                     help="skip map building + training; load artifacts "
                          "saved by --save_run (scenes are regenerated "
                          "deterministically from --seed)")
+    ap.add_argument("--reuse_map", default=None,
+                    help="load ONLY the map from a saved run dir and "
+                         "retrain the matcher (training-recipe iteration "
+                         "without re-running LoFTR matching + SfM)")
+    ap.add_argument("--jitter_shift", type=float, default=0.15,
+                    help="training-crop framing jitter: max box shift as a "
+                         "fraction of box side. Large values (~0.35) push "
+                         "crop windows past the frame edge, teaching the "
+                         "matcher the truncated-object + black-fill framing "
+                         "the wild sequence produces when the object leaves "
+                         "the frame")
+    ap.add_argument("--jitter_scale", type=float, nargs=2, default=[0.95, 1.4],
+                    help="training-crop rescale range")
+    ap.add_argument("--n_aug", type=int, default=2,
+                    help="jittered crop copies of the scan set")
     args = ap.parse_args()
 
     import jax
@@ -220,6 +235,12 @@ def main():
             )
         print(f"reused map ({len(sfm_map.keypoints3d)} pts) + trained "
               f"matcher from {args.reuse_run}")
+    elif args.reuse_map:
+        from onepose_st_tpu.sfm.map import SfMMap
+
+        sfm_map = SfMMap.load(str(Path(args.reuse_map) / "map.npz"))
+        print(f"reused map ({len(sfm_map.keypoints3d)} pts) from "
+              f"{args.reuse_map}; retraining the matcher")
     elif args.loftr_matches_for_map:
         assert loftr is not None, "--loftr_matches_for_map needs --loftr_ckpt"
         from onepose_st_tpu.sfm import pairs as pairs_mod
@@ -251,7 +272,7 @@ def main():
                     uv_crop[j, ids].astype(np.float32) + noise,
                     np.ones(len(ids), np.float32),
                 ))
-    if not args.reuse_run:
+    if not args.reuse_run and not args.reuse_map:
         if not args.no_box_mask:
             n_before = sum(len(pm.uv_i) for pm in pms)
             pms = sfm_pipeline.mask_matches_to_boxes(
@@ -272,16 +293,20 @@ def main():
               f"reproj {diag.mean_reproj_err_px:.2f}px, "
               f"BA {diag.ba_initial_cost:.2f} -> {diag.ba_final_cost:.2f})")
 
+    if not args.reuse_run:
         # --- train the 2D-3D matcher on scan crops -------------------------
         # training-crop framing jitter: inference crops come from detector
         # boxes (off-center object, box hanging past the frame edge ->
-        # black warp fill). Always-centered GT crops overfit to perfect
-        # framing — per extra crop, shift the box up to 15% of its side and
-        # rescale 0.95-1.4x before cropping so the matcher trains on the
-        # same distribution the detector produces (the reference gets this
-        # robustness from its large-scale pretraining; our per-object
-        # matcher has to learn it from the scan).
-        n_aug = 2
+        # black warp fill, object truncated by the frame boundary).
+        # Always-centered GT crops overfit to perfect framing — per extra
+        # crop, shift the box by up to jitter_shift of its side and rescale
+        # before cropping so the matcher trains on the same distribution
+        # the detector produces (the reference gets this robustness from
+        # its large-scale pretraining; our per-object matcher has to learn
+        # it from the scan). Shifts ~0.35 reproduce the wild sequence's
+        # truncated-object framing (wild_diag_r3f: bad frames have up to
+        # 49% of the box past the frame edge).
+        n_aug = args.n_aug
         crops_tr = [crops]
         K_tr = [K_crops]
         pose_tr = [scene.poses]
@@ -298,8 +323,10 @@ def main():
                 )
                 b = np.asarray(base, np.float64)
                 side = b[2] - b[0]
-                shift = rng.uniform(-0.15, 0.15, size=2) * side
-                scale = rng.uniform(0.95, 1.4)
+                shift = rng.uniform(
+                    -args.jitter_shift, args.jitter_shift, size=2
+                ) * side
+                scale = rng.uniform(*args.jitter_scale)
                 cx, cy = (b[0] + b[2]) / 2 + shift[0], (b[1] + b[3]) / 2 + shift[1]
                 half = side * scale / 2
                 bj = np.array([cx - half, cy - half, cx + half, cy + half],
