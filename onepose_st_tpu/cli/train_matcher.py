@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--accum", type=int, default=1,
                     help="gradient-accumulation micro-steps per update "
                          "(reference accumulate_grad_batches: 2)")
+    ap.add_argument("--artifacts_dir", default=None,
+                    help="versioned artifact registry root: snapshot the "
+                         "best checkpoint + manifest at the end of the run "
+                         "(utils/artifacts.py; the reference's W&B artifact "
+                         "callback role)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in --ckpt_dir "
                          "(full optimizer state; --steps = additional steps)")
@@ -126,6 +131,7 @@ def main():
         cfg, model, batches, n_steps=args.steps, mesh=mesh,
         ckpt_dir=args.ckpt_dir, log_every=100, log_fn=log_fn,
         val_fn=val_fn, val_every=args.val_every, init_state=init_state,
+        artifacts_dir=args.artifacts_dir,
     )
     print(f"done; checkpoints in {args.ckpt_dir}")
 

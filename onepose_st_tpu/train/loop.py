@@ -38,6 +38,7 @@ def fit(
     val_every: int = 1000,
     select_metric: str = "3cm@3degree",
     tb_dir: str | Path | None = None,
+    artifacts_dir: str | Path | None = None,
 ) -> tuple[step_lib.TrainState, list[dict]]:
     """Run `n_steps` of training over `batches` (an iterable of host Batches).
 
@@ -185,6 +186,35 @@ def fit(
         with open(Path(ckpt_dir) / "history.jsonl", "a") as f:
             for rec in history:
                 f.write(json.dumps(rec) + "\n")
+    if artifacts_dir is not None and ckpt_dir is not None:
+        # versioned run artifact (role of the reference's W&B artifact
+        # callback, src/callbacks/wandb_callbacks.py:17-83): snapshot the
+        # selection-metric-best checkpoint (falling back to last) with a
+        # content-hashed manifest
+        from ..utils.artifacts import ArtifactRegistry
+
+        reg = ArtifactRegistry(artifacts_dir)
+        best_dir = Path(ckpt_dir) / "best"
+        files: dict[str, str | Path] = {}
+        src = best_dir if best_mgr is not None and best["step"] >= 0 else Path(ckpt_dir)
+        steps = [p for p in src.iterdir() if p.name.isdigit()] if src.is_dir() else []
+        if steps:
+            newest = max(steps, key=lambda p: int(p.name))
+            files[f"ckpt/{newest.name}"] = newest
+        for extra in ("best.json", "history.jsonl", "model_config.json"):
+            if (Path(ckpt_dir) / extra).exists():
+                files[extra] = Path(ckpt_dir) / extra
+        if files:
+            reg.log_artifact(
+                "train-run",
+                files,
+                metadata={
+                    "select_metric": select_metric,
+                    "best_step": best["step"],
+                    "best_metric": best["metric"],
+                    "final_step": start + n_steps,
+                },
+            )
     return state, history
 
 

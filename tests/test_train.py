@@ -336,3 +336,69 @@ def test_train_cli_val_fn(rng):
     assert set(metrics.keys()) == {"1cm@1degree", "3cm@3degree", "5cm@5degree"}
     for v in metrics.values():
         assert 0.0 <= v <= 1.0
+
+
+def test_artifact_registry(tmp_path):
+    """Versioned content-hashed artifact snapshots (W&B-artifact analogue,
+    reference src/callbacks/wandb_callbacks.py:17-83)."""
+    from onepose_st_tpu.utils.artifacts import ArtifactRegistry
+
+    reg = ArtifactRegistry(tmp_path / "artifacts")
+    src = tmp_path / "src"
+    (src / "ckpt").mkdir(parents=True)
+    (src / "ckpt" / "w.bin").write_bytes(b"\x01\x02\x03" * 100)
+    (src / "meta.json").write_text('{"a": 1}')
+
+    v0 = reg.log_artifact(
+        "run", {"ckpt": src / "ckpt", "meta.json": src / "meta.json"},
+        metadata={"step": 5},
+    )
+    assert v0.name == "v0"
+    man = reg.manifest("run")
+    assert man["version"] == 0 and man["metadata"]["step"] == 5
+    assert man["files"]["ckpt"]["kind"] == "dir"
+    assert man["files"]["ckpt"]["n_files"] == 1
+    assert reg.verify("run")
+
+    # append-only versioning
+    (src / "meta.json").write_text('{"a": 2}')
+    v1 = reg.log_artifact("run", {"meta.json": src / "meta.json"})
+    assert v1.name == "v1" and reg.latest("run") == v1
+    m0 = reg.manifest("run", 0)["files"]["meta.json"]["sha256"]
+    m1 = reg.manifest("run", 1)["files"]["meta.json"]["sha256"]
+    assert m0 != m1
+
+    # bit-rot detection
+    (v1 / "meta.json").write_text('{"a": 999}')
+    assert not reg.verify("run", 1)
+    assert reg.verify("run", 0)
+
+
+def test_fit_logs_artifact(tmp_path, rng):
+    """fit(artifacts_dir=...) snapshots the best checkpoint + manifest."""
+    import json
+
+    from onepose_st_tpu.train import loop as loop_mod
+    from onepose_st_tpu.utils.artifacts import ArtifactRegistry
+
+    cfg = tiny_engine_cfg()
+    model = OnePoseMatcher(cfg.matcher)
+
+    def gen():
+        while True:
+            yield make_batch(rng, cfg)
+
+    def val_fn(state):
+        return {"3cm@3degree": 0.5}
+
+    loop_mod.fit(
+        cfg, model, gen(), n_steps=4, log_every=2,
+        ckpt_dir=tmp_path / "ck", ckpt_every=2, val_fn=val_fn, val_every=2,
+        artifacts_dir=tmp_path / "artifacts",
+    )
+    reg = ArtifactRegistry(tmp_path / "artifacts")
+    man = reg.manifest("train-run")
+    assert man["metadata"]["best_metric"] == 0.5
+    assert any(k.startswith("ckpt/") for k in man["files"])
+    assert man["files"]["best.json"]["kind"] == "file"
+    assert reg.verify("train-run")
