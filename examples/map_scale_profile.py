@@ -124,9 +124,10 @@ def main():
     if args.refine:
         frames2 = synthetic.render_sequence(scene, rng, sigma_px=1.8)
 
-        def refine(assigned):
+        def refine(assigned, centers=None):
             return sfm_pipeline.refine_track_observations(
-                loftr, lvars, frames2, assigned, batch_pairs=4
+                loftr, lvars, frames2, assigned, batch_pairs=4,
+                j_centers=centers,
             )
 
     corners = np.asarray(camera.box3d_corners(jnp.asarray([0.3, 0.3, 0.3])))

@@ -126,6 +126,10 @@ def main():
                     help="with --loftr_ckpt: fine-only re-refinement of "
                          "track observations before triangulation/BA (the "
                          "reference's post-optimization fine_matcher pass)")
+    ap.add_argument("--refine_iters", type=int, default=1,
+                    help="with --fine_refine: total fine-refinement passes; "
+                         "passes >=2 re-center fine windows on reprojected "
+                         "BA points and re-solve (SfMConfig.refine_iters)")
     ap.add_argument("--covis_num", type=int, default=10,
                     help="pose-covisibility pairs per image (sfm_demo.yaml)")
     ap.add_argument("--strict_map", action="store_true",
@@ -159,6 +163,9 @@ def main():
             cfg.sfm, epipolar_threshold_px=1.5, max_reproj_error_px=2.0,
             ba_huber_px=1.0,
         ))
+    if args.refine_iters != 1:
+        cfg = cfg_lib.replace(cfg, sfm=cfg_lib.replace(
+            cfg.sfm, refine_iters=args.refine_iters))
     rng = np.random.default_rng(args.seed)
 
     # --- scene + rendering -------------------------------------------------
@@ -284,8 +291,11 @@ def main():
     refine_obs = None
     if args.fine_refine:
         assert args.loftr_ckpt, "--fine_refine needs --loftr_ckpt"
-        refine_obs = lambda a: sfm_pipeline.refine_track_observations(
-            loftr, lvars, frames, a, batch_pairs=args.batch,
+        refine_obs = lambda a, centers=None: (
+            sfm_pipeline.refine_track_observations(
+                loftr, lvars, frames, a, batch_pairs=args.batch,
+                j_centers=centers,
+            )
         )
     sfm_map, diag = sfm_pipeline.build_map_from_matches(
         pms, scene.poses, scene.Ks, cfg, box_corners=corners,

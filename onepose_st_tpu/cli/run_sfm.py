@@ -153,8 +153,10 @@ def _build_object(data_dir: Path, out_path: Path, cfg, args, cache_path=None):
 
     refine_fn = None
     if args.fine_refine:
-        refine_fn = lambda assigned: pipeline.refine_track_observations(  # noqa: E731
-            model, variables, images, assigned
+        refine_fn = lambda assigned, centers=None: (  # noqa: E731
+            pipeline.refine_track_observations(
+                model, variables, images, assigned, j_centers=centers
+            )
         )
     sfm_map, diag = pipeline.build_map_from_matches(
         pms, poses, Ks, cfg, box_corners=corners,

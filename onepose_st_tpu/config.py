@@ -214,6 +214,15 @@ class SfMConfig:
     # (fine-refined) observations with poses fixed — the anchor becomes
     # one observation among M instead of defining the ray.
     ba_mode: str = "point"
+    # fine-refinement passes over track observations (ba_mode="point" with
+    # a refine_observations callback). Pass 1 re-refines each observation
+    # inside its own matched coarse cell (reference post-optimization
+    # fine_matcher); passes >=2 re-center the fine window on the
+    # REPROJECTION of the BA-refined 3D point, reaching observations whose
+    # true correspondence lies outside the original cell's fine window
+    # (the +-(fine window) cap the reference's single-pass design has,
+    # fine_matching.py:84-110) and re-solving the point GN after each pass.
+    refine_iters: int = 1
     # optional extrinsics+points global BA after the depth-only stage
     # (reference sfm_utils/global_ba.py `colmap bundle_adjuster` with
     # refine_extrinsics=1, intrinsics fixed); first two frames gauge-fixed

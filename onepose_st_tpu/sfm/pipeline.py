@@ -251,6 +251,42 @@ def build_map_from_matches(
         diag.ba_initial_cost = float(pinfo.initial_cost)
         diag.ba_final_cost = float(pinfo.final_cost)
         _stage("point_ba")
+
+        # iterative refinement: re-center each observation's fine window
+        # on the reprojection of its refined point, re-refine, re-solve
+        # (see SfMConfig.refine_iters). Single-cell fine refinement can
+        # only recover sub-pixel truth INSIDE the matched cell's window;
+        # the reprojection of a multi-view point is a better window center
+        # than the original coarse match once the first GN has run.
+        from ..core import camera as cam_ops
+
+        for it in range(1, sfm_cfg.refine_iters):
+            if refine_observations is None:
+                break
+            uv_rep, _ = cam_ops.project(
+                jnp.asarray(points)[:, None, :],
+                jnp.asarray(poses)[assigned.obs_idx],
+                jnp.asarray(Ks)[assigned.obs_idx],
+            )
+            centers = np.asarray(uv_rep)
+            # only re-center observations of valid points; keep the rest
+            centers = np.where(
+                (tri_valid_np[:, None] & assigned.mask)[..., None],
+                centers, assigned.kpt1,
+            )
+            assigned = refine_observations(assigned, centers)
+            _stage(f"refine{it + 1}")
+            obs_uv = np.concatenate(
+                [assigned.kpt0[:, None], assigned.kpt1], axis=1
+            )
+            pprob = pprob._replace(obs_uv=jnp.asarray(obs_uv))
+            _, pts_ref, pinfo = solve_bundle(
+                jnp.asarray(poses), jnp.asarray(points), pprob,
+                max_iters=sfm_cfg.ba_max_iters,
+            )
+            points = np.asarray(pts_ref)
+            diag.ba_final_cost = float(pinfo.final_cost)
+            _stage(f"point_ba{it + 1}")
     else:
         # depth-only LM refinement (reference DeepLM parity), depth from
         # the triangulated point projected into the reference view
@@ -574,6 +610,7 @@ def refine_track_observations(
     images: np.ndarray,                 # [F, H, W] grayscale
     assigned: tracks_mod.AssignedTracks,
     batch_pairs: int = 4,
+    j_centers: np.ndarray | None = None,  # [T, M, 2] fine-window centers
 ) -> tracks_mod.AssignedTracks:
     """Fine-only re-refinement of every track observation (reference
     post_optimization fine_matcher, matcher_model/fine_match_worker.py:73 +
@@ -584,6 +621,11 @@ def refine_track_observations(
     coarse correspondences (reference-view cell -> observation cell) and
     replaces kpt1 with the sub-pixel refined positions before triangulation
     and depth BA.
+
+    `j_centers` overrides where each observation's fine window is centered
+    (cell-quantized): iterative map refinement passes the REPROJECTIONS of
+    the current 3D points, so the fine stage can recover correspondences
+    outside the originally-matched cell's window.
     """
     if images.ndim == 3:
         images = images[..., None]
@@ -617,7 +659,10 @@ def refine_track_observations(
 
     # cell ids for all observations in one vectorized pass
     i_ids_flat = cell_ids(assigned.kpt0[t_srt])
-    j_ids_flat = cell_ids(assigned.kpt1[t_srt, m_srt])
+    j_src = assigned.kpt1 if j_centers is None else np.asarray(
+        j_centers, np.float32
+    )
+    j_ids_flat = cell_ids(j_src[t_srt, m_srt])
 
     K_cap = 1 << int(np.ceil(np.log2(max(int(group_sizes.max()), 16))))
     apply = jax.jit(

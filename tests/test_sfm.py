@@ -497,3 +497,52 @@ def test_build_map_with_sampler_reports_final_reproj(rng):
     )
     assert len(m.keypoints3d) > 50
     assert 0 < d.mean_reproj_err_px < 0.6
+
+
+def test_build_map_iterative_refine(rng):
+    """refine_iters=2: second refine pass receives reprojection centers of
+    the BA-refined points and the point GN re-solves on the new
+    observations (SfMConfig.refine_iters)."""
+    from onepose_st_tpu import config as cfg_lib
+
+    scene = synthetic.make_scene(rng, n_points=200, n_frames=8)
+    cfg = cfg_lib.replace(
+        EngineConfig(), sfm=cfg_lib.replace(EngineConfig().sfm, refine_iters=2)
+    )
+    pair_list = pairs.pairs_from_poses(scene.Rs, scene.ts, covis_num=6)
+    pms = []
+    for i, j in pair_list:
+        pm, _ = make_pair_matches(
+            scene, int(i), int(j), noise_px=0.0, n_outliers=0, rng=rng
+        )
+        # quantize observations to an 8 px grid: the error a single
+        # cell-centered fine pass cannot remove
+        pms.append(pm._replace(uv_j=(np.floor(pm.uv_j / 8) + 0.5) * 8))
+
+    calls = []
+
+    def refine_obs(assigned, centers=None):
+        calls.append(centers is not None)
+        if centers is None:
+            return assigned  # pass 1: nothing to add on synthetic data
+        assert centers.shape == assigned.kpt1.shape
+        # pass 2 stand-in for the fine matcher: trust the window center
+        # (the reprojection) — plumbing test; accuracy value is measured
+        # in the e2e experiments
+        kpt1 = np.where(assigned.mask[..., None], centers, assigned.kpt1)
+        return assigned._replace(kpt1=kpt1.astype(np.float32))
+
+    m2, d2 = pipeline.build_map_from_matches(
+        pms, scene.poses, scene.Ks, cfg, refine_observations=refine_obs
+    )
+    assert calls == [False, True]
+    assert "refine2" in d2.stage_seconds and "point_ba2" in d2.stage_seconds
+
+    cfg1 = EngineConfig()
+    m1, d1 = pipeline.build_map_from_matches(
+        pms, scene.poses, scene.Ks, cfg1,
+        refine_observations=lambda a, centers=None: a,
+    )
+    # reprojection-centered pass tightened the map
+    assert d2.mean_reproj_err_px < d1.mean_reproj_err_px
+    assert len(m2.keypoints3d) > 50
