@@ -126,6 +126,10 @@ def main():
                     help="with --loftr_ckpt: fine-only re-refinement of "
                          "track observations before triangulation/BA (the "
                          "reference's post-optimization fine_matcher pass)")
+    ap.add_argument("--matches_cache", default=None,
+                    help="pair-matches stage cache (reference raw_matches.h5 "
+                         "role, coarse_match.py:49): load LoFTR pair matches "
+                         "from this npz when it exists, else match and save")
     ap.add_argument("--refine_iters", type=int, default=1,
                     help="with --fine_refine: total fine-refinement passes; "
                          "passes >=2 re-center fine windows on reprojected "
@@ -259,15 +263,25 @@ def main():
             min_rotation_deg=args.min_rotation,
         )
         train_pairs_arr = train_ids[local_pairs].astype(np.int32)
-        t0 = time.time()
-        pms = sfm_pipeline.match_pairs_loftr(
-            loftr, lvars, frames, train_pairs_arr, batch_size=args.batch,
-        )
-        n_m = sum(len(pm.uv_i) for pm in pms)
-        print(
-            f"LoFTR-matched {len(train_pairs_arr)} covis pairs in "
-            f"{time.time()-t0:.1f}s ({n_m} raw matches)"
-        )
+        if args.matches_cache and Path(args.matches_cache).exists():
+            pms = sfm_pipeline.load_pair_matches(args.matches_cache)
+            print(f"loaded {len(pms)} cached pair matches "
+                  f"({sum(len(pm.uv_i) for pm in pms)} raw) from "
+                  f"{args.matches_cache}")
+        else:
+            t0 = time.time()
+            pms = sfm_pipeline.match_pairs_loftr(
+                loftr, lvars, frames, train_pairs_arr, batch_size=args.batch,
+            )
+            n_m = sum(len(pm.uv_i) for pm in pms)
+            print(
+                f"LoFTR-matched {len(train_pairs_arr)} covis pairs in "
+                f"{time.time()-t0:.1f}s ({n_m} raw matches)"
+            )
+            if args.matches_cache:
+                Path(args.matches_cache).parent.mkdir(
+                    parents=True, exist_ok=True)
+                sfm_pipeline.save_pair_matches(args.matches_cache, pms)
     else:
         pms = []
         train_pairs = [
