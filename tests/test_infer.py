@@ -218,3 +218,29 @@ def test_refine_sequence_windowed(rng):
     # (12 deg absorbs render-content luck: the look_at orientation fix
     # changed which texture drifts under the toy correlation tracker)
     assert r_err < 12.0 and t_err < 5.0, (r_err, t_err, last.used_tracks)
+
+
+def test_shift_box_into_frame():
+    """Crop-box shifting: preserves size, maximizes real pixels (the wild
+    truncation fix's inference-side half, see wild_diag)."""
+    import numpy as np
+
+    from onepose_st_tpu.infer.detector import shift_box_into_frame
+
+    hw = (512, 512)
+    # fully inside: unchanged
+    b = np.array([10.0, 20.0, 110.0, 120.0], np.float32)
+    np.testing.assert_allclose(shift_box_into_frame(b, hw), b)
+    # hanging off the left/top: snapped to 0, size kept
+    b = np.array([-40.0, -10.0, 60.0, 90.0], np.float32)
+    out = shift_box_into_frame(b, hw)
+    np.testing.assert_allclose(out, [0.0, 0.0, 100.0, 100.0])
+    # hanging off the right/bottom: snapped to the far edge
+    b = np.array([450.0, 480.0, 550.0, 580.0], np.float32)
+    out = shift_box_into_frame(b, hw)
+    np.testing.assert_allclose(out, [412.0, 412.0, 512.0, 512.0])
+    # larger than the frame: centered
+    b = np.array([-100.0, 0.0, 600.0, 700.0], np.float32)
+    out = shift_box_into_frame(b, hw)
+    assert out[2] - out[0] == 700.0 and out[3] - out[1] == 700.0
+    np.testing.assert_allclose((out[0] + out[2]) / 2, 256.0)
