@@ -74,6 +74,14 @@ def main():
                          "projected object box")
     ap.add_argument("--eval_conf_thr", type=float, default=None)
     ap.add_argument("--wander", type=float, default=0.12)
+    ap.add_argument("--wild_radius", type=float, default=None,
+                    help="wild-sequence camera orbit radius (default: the "
+                         "scan's 0.6). The default wild scenario is a "
+                         "truncation STRESS test: the object fills ~85% of "
+                         "the frame and the wander regularly pushes it past "
+                         "the frame edge. A larger radius (e.g. 0.85) gives "
+                         "the reference-like regime (Spot videos keep the "
+                         "object inside the frame at moderate scale)")
     ap.add_argument("--ground_grid", action="store_true",
                     help="render a gravity-aligned ground grid background "
                          "(the calibration net's physical cues)")
@@ -145,6 +153,7 @@ def main():
         rng, n_frames=args.frames, image_hw=(args.full_image, args.full_image),
         object_size=0.2, wander=args.wander,
         points=scan.scene.points, bg_points=scan.bg_points,
+        **({"radius": args.wild_radius} if args.wild_radius else {}),
     )
     scene = scan.scene          # scan geometry (map building + training)
     wscene = wild.scene         # wild geometry (inference only)
