@@ -88,6 +88,11 @@ def main():
                          "training, go straight to eval/refinement (the "
                          "scene is re-rendered deterministically from "
                          "--seed)")
+    ap.add_argument("--tracker_polish", action="store_true",
+                    help="with --refine learned: polish the learned track "
+                         "positions with a small-radius correlation pass on "
+                         "the matcher's fine features (hybrid backend: "
+                         "learned visibility + correlation localization)")
     ap.add_argument("--tracker_vis_thr", type=float, default=0.5,
                     help="visibility-probability gate for learned-tracker "
                          "points entering the union PnP")
@@ -504,7 +509,11 @@ def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids, rng):
             else:
                 tcfg = tt.build_cfg(args.tracker_preset)
             tracker = LearnedTemporalTracker.load(
-                tcfg, args.tracker_ckpt, vis_threshold=args.tracker_vis_thr
+                tcfg, args.tracker_ckpt, vis_threshold=args.tracker_vis_thr,
+                polish=(
+                    TemporalTracker(model, trained)
+                    if args.tracker_polish else None
+                ),
             )
             window = tracker.cfg.window
         else:

@@ -157,13 +157,29 @@ class LearnedTemporalTracker:
     the predicted visibility probability before they enter the union PnP.
     """
 
-    def __init__(self, tracker_cfg, variables, vis_threshold: float = 0.5):
+    def __init__(
+        self,
+        tracker_cfg,
+        variables,
+        vis_threshold: float = 0.5,
+        polish: "TemporalTracker | None" = None,
+        polish_radius: int = 3,
+    ):
         from ..models.tracker import CoTrackerNet
 
         self.cfg = tracker_cfg
         self.model = CoTrackerNet(tracker_cfg)
         self.variables = variables
         self.vis_threshold = vis_threshold
+        # hybrid backend: the transformer proposes target positions +
+        # visibility; a small-radius correlation pass on the matcher's fine
+        # features (the correlation backend's localization machinery)
+        # polishes them to sub-pixel. Decouples WHERE the tracker thinks a
+        # point went (learned, occlusion-aware) from HOW precisely it lands
+        # (correlation peak, ~1.5 px floor) — the r3 study showed the
+        # learned positions alone lose to pure correlation on localization.
+        self.polish = polish
+        self.polish_radius = polish_radius
 
     @staticmethod
     def save_params(variables, path) -> None:
@@ -225,14 +241,23 @@ def _window_track_pnp_learned(
     K_mat: jax.Array,       # [3, 3]
     base_pose6: jax.Array,  # [6] the frame's first-pass pose (gate reference)
     key: jax.Array,
+    feat_t: jax.Array | None = None,   # [Hf, Wf, C] target fine features
+    desc: jax.Array | None = None,     # [N, C] source descriptors
     *,
     model,
     vis_threshold: float,
     pnp_cfg,
+    polish_stride: float = 2.0,
+    polish_radius: int = 3,
+    polish_temperature: float = 0.05,
 ):
     """Learned-tracker analogue of `_window_track_pnp`: one program per
     refined frame — the transformer tracks every window query to the target
-    frame, visibility-gated points join the frame's own inliers in PnP."""
+    frame, visibility-gated points join the frame's own inliers in PnP.
+
+    With `feat_t`/`desc` given (hybrid mode), the learned positions are
+    polished by a small-radius correlation pass before PnP (see
+    LearnedTemporalTracker.polish)."""
     W = frames_win.shape[0]
     point_mask = birth < W
     out = model.apply(
@@ -245,6 +270,17 @@ def _window_track_pnp_learned(
     uv = out["coords"][0, -1]                       # position at target frame
     vis_p = jax.nn.sigmoid(out["vis_logit"][0, -1])
     trk_valid = (birth < W - 1) & (vis_p > vis_threshold)
+    if feat_t is not None and desc is not None:
+        uv_pol, corr = _track_points_step(
+            feat_t, desc, uv, polish_stride, polish_radius, 2,
+            polish_temperature,
+        )
+        moved = jnp.linalg.norm(uv_pol - uv, axis=-1)
+        # trust the polish only when the correlation peak is confident and
+        # within the search radius (a weak/flat peak means the learned
+        # position sits off-feature — keep it and let RANSAC judge)
+        good = (corr > 0.25) & (moved <= polish_stride * polish_radius + 1.0)
+        uv = jnp.where(good[:, None], uv_pol, uv)
 
     P3 = jnp.concatenate([own_pts3d, trk_pts3d], axis=0)
     P2 = jnp.concatenate([own_uv, uv], axis=0)
@@ -346,8 +382,10 @@ def refine_sequence(
     T = len(frames)
     W = window
 
-    if not learned:
-        feat_seq = tracker.features(frames)    # [T, Hf, Wf, C] device-resident
+    polish = tracker.polish if learned else None
+    feat_tracker = polish if learned else tracker
+    if feat_tracker is not None:
+        feat_seq = feat_tracker.features(frames)  # [T, Hf, Wf, C] on device
         stride = frames.shape[1] / feat_seq.shape[1]
 
     # per-frame query prep: fixed-capacity buffers; descriptors sampled ONCE
@@ -363,11 +401,11 @@ def refine_sequence(
         n_src[s] = n
         uv_buf[s, :n] = r.mkpts2d_full[:n]
         p3_buf[s, :n] = r.mkpts3d[:n]
-        if not learned:
-            descs[s] = tracker._sample_desc(
+        if feat_tracker is not None:
+            descs[s] = feat_tracker._sample_desc(
                 feat_seq[s], jnp.asarray(uv_buf[s]), stride
             )
-    if not learned:
+    if feat_tracker is not None:
         zero_desc = jnp.zeros_like(
             next((d for d in descs if d is not None), jnp.zeros((max_pts_per_frame, feat_seq.shape[-1])))
         )
@@ -384,6 +422,11 @@ def refine_sequence(
             model=tracker.model,
             vis_threshold=tracker.vis_threshold,
             pnp_cfg=cfg.pnp,
+            **({} if polish is None else dict(
+                polish_stride=float(stride),
+                polish_radius=tracker.polish_radius,
+                polish_temperature=polish.temperature,
+            )),
         ))
     else:
         job = jax.jit(partial(
@@ -424,11 +467,21 @@ def refine_sequence(
         own_val[:n_own] = True
 
         if learned:
+            pol_args = ()
+            if polish is not None:
+                pol_args = (
+                    feat_seq[t],
+                    jnp.concatenate([
+                        descs[s] if descs[s] is not None else zero_desc
+                        for s in srcs
+                    ]),
+                )
             pose6_d, n_inl_d, success_d, used_d, n_own_ref_d, n_own_base_d = job(
                 tracker.variables, jnp.asarray(frames_f[t - W + 1: t + 1]),
                 jnp.asarray(uv0), jnp.asarray(birth), jnp.asarray(trk3d),
                 jnp.asarray(own_p3), jnp.asarray(own_uv), jnp.asarray(own_val),
                 jnp.asarray(Ks[t]), jnp.asarray(base.pose6), jax.random.key(t),
+                *pol_args,
             )
         else:
             desc = jnp.concatenate(

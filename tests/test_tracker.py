@@ -219,3 +219,76 @@ def test_save_load_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(out_a["coords"]), np.asarray(out_b["coords"]), atol=1e-6
     )
+
+
+def test_refine_sequence_hybrid_polish(rng):
+    """Hybrid backend: learned tracker + correlation polish runs end-to-end
+    and the own-support gate still protects ground-truth base poses."""
+    from onepose_st_tpu import config as ecfg
+    from onepose_st_tpu.data import synthetic
+    from onepose_st_tpu.infer.pipeline import FrameResult
+    from onepose_st_tpu.infer.tracker import (
+        LearnedTemporalTracker, TemporalTracker, refine_sequence,
+    )
+    from onepose_st_tpu.models import OnePoseMatcher
+
+    from test_models import small_matcher_cfg
+
+    scene = synthetic.make_scene(
+        rng, n_points=70, n_frames=60, image_hw=(64, 64), focal=90.0,
+        object_size=0.25, elevation_jitter=0.0,
+    )
+    T = 8
+    amps = rng.uniform(0.3, 1.0, size=70).astype(np.float32)
+    frames = np.stack([
+        synthetic.render_splats(scene, f, amps, sigma_px=2.0)
+        for f in range(T)
+    ])
+
+    def T44_of(f):
+        M = np.eye(4, dtype=np.float32)
+        M[:3, :3] = scene.Rs[f]
+        M[:3, 3] = scene.ts[f]
+        return M
+
+    results = []
+    for f in range(T):
+        vis = np.nonzero(scene.visible[f])[0][:40]
+        uv = scene.uv[f][vis]
+        p3 = scene.points[vis]
+        results.append(FrameResult(
+            pose6=scene.poses[f], T44=T44_of(f), n_inliers=len(uv),
+            n_matches=len(uv), tracked=True, success=True,
+            mkpts3d=p3.astype(np.float32), mkpts2d_full=uv.astype(np.float32),
+        ))
+
+    mcfg = small_matcher_cfg()
+    matcher = OnePoseMatcher(mcfg)
+    L = mcfg.n_points
+    mvars = matcher.init(
+        jax.random.key(1), jnp.asarray(frames[:1, ..., None]),
+        jnp.zeros((1, L, 3)), jnp.zeros((1, L, 32)), jnp.zeros((1, L, 16)),
+    )
+
+    cfg = ecfg.EngineConfig(tracker=tiny_cfg(window=6), matcher=mcfg)
+    b = tracker_data.make_batch(
+        np.random.default_rng(1), 1, T=6, H=64, W=64, n_points=8
+    )
+    model = CoTrackerNet(cfg.tracker)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.asarray(b["frames"]), jnp.asarray(b["query_uv"]),
+        jnp.asarray(b["query_frame"]), jnp.asarray(b["point_mask"]),
+    )
+    tracker = LearnedTemporalTracker(
+        cfg.tracker, variables, polish=TemporalTracker(matcher, mvars),
+    )
+    refined = refine_sequence(
+        cfg, tracker, frames, results, scene.Ks, window=6,
+        max_pts_per_frame=16,
+    )
+    assert len(refined) == T
+    from onepose_st_tpu.core import metrics
+    for f, r in enumerate(refined):
+        assert np.isfinite(r.T44).all()
+        r_err, t_err = metrics.query_pose_error(r.T44[:3], T44_of(f)[:3])
+        assert r_err < 1.0 and t_err < 1.0, (f, r_err, t_err)
