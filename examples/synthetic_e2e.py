@@ -14,6 +14,7 @@ Runs on a single TPU chip (or CPU with --preset tiny). Example:
 from __future__ import annotations
 
 import argparse
+import hashlib
 import sys
 import time
 from pathlib import Path
@@ -268,8 +269,18 @@ def main():
             min_rotation_deg=args.min_rotation,
         )
         train_pairs_arr = train_ids[local_pairs].astype(np.int32)
+        # stale-cache guard: key the cache to the actual scene/pair set, not
+        # just the file path
+        cache_fp = {
+            "seed": args.seed,
+            "n_frames": args.frames,
+            "pairs_sha": hashlib.sha256(
+                np.ascontiguousarray(train_pairs_arr).tobytes()
+            ).hexdigest()[:16],
+        }
         if args.matches_cache and Path(args.matches_cache).exists():
-            pms = sfm_pipeline.load_pair_matches(args.matches_cache)
+            pms = sfm_pipeline.load_pair_matches(
+                args.matches_cache, expect_fingerprint=cache_fp)
             print(f"loaded {len(pms)} cached pair matches "
                   f"({sum(len(pm.uv_i) for pm in pms)} raw) from "
                   f"{args.matches_cache}")
@@ -286,7 +297,8 @@ def main():
             if args.matches_cache:
                 Path(args.matches_cache).parent.mkdir(
                     parents=True, exist_ok=True)
-                sfm_pipeline.save_pair_matches(args.matches_cache, pms)
+                sfm_pipeline.save_pair_matches(
+                    args.matches_cache, pms, fingerprint=cache_fp)
     else:
         pms = []
         train_pairs = [

@@ -277,9 +277,13 @@ def _window_track_pnp_learned(
         )
         moved = jnp.linalg.norm(uv_pol - uv, axis=-1)
         # trust the polish only when the correlation peak is confident and
-        # within the search radius (a weak/flat peak means the learned
-        # position sits off-feature — keep it and let RANSAC judge)
-        good = (corr > 0.25) & (moved <= polish_stride * polish_radius + 1.0)
+        # within the search extent (a weak/flat peak means the learned
+        # position sits off-feature — keep it and let RANSAC judge). The
+        # polish runs _track_points_step with iters=2, which can legitimately
+        # travel up to 2x the per-iteration radius — bound accordingly.
+        good = (corr > 0.25) & (
+            moved <= 2 * polish_stride * polish_radius + 1.0
+        )
         uv = jnp.where(good[:, None], uv_pol, uv)
 
     P3 = jnp.concatenate([own_pts3d, trk_pts3d], axis=0)

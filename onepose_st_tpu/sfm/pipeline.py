@@ -155,9 +155,12 @@ def build_map_from_matches(
     [N,Cf])` pulls backbone features for the descriptor DB; when None the
     map gets zero descriptors (geometry-only tests).
 
-    `refine_observations(assigned) -> assigned` optionally re-refines the
-    per-track observations before triangulation/BA (the reference's
-    post-optimization fine-matching pass — see refine_track_observations).
+    `refine_observations(assigned, centers=None) -> assigned` optionally
+    re-refines the per-track observations before triangulation/BA (the
+    reference's post-optimization fine-matching pass — see
+    refine_track_observations). With cfg.sfm.refine_iters >= 2 the callback
+    is invoked again with `centers` ([T, M, 2] reprojection-centered fine
+    windows) as a positional second argument, so it MUST accept one.
     """
     import time as _time
 
@@ -572,10 +575,20 @@ def match_pairs_loftr(
     return out_list
 
 
-def save_pair_matches(path, pms: list[tracks_mod.PairMatches]) -> None:
+def save_pair_matches(
+    path, pms: list[tracks_mod.PairMatches], fingerprint: dict | None = None
+) -> None:
     """Stage cache for raw pair matches (role of the reference's
     raw_matches.h5, coarse_match.py:49-65): re-running the pipeline can skip
-    the matcher forward passes entirely."""
+    the matcher forward passes entirely.
+
+    `fingerprint` (any JSON-able dict — e.g. seed, frame count, pair-list
+    hash) is stored alongside the matches; `load_pair_matches(path,
+    expect_fingerprint=...)` rejects a cache whose stored fingerprint
+    differs, so a stale file is never silently reused for a different
+    scene/pair set."""
+    import json as _json
+
     offsets = np.zeros(len(pms) + 1, np.int64)
     for i, pm in enumerate(pms):
         offsets[i + 1] = offsets[i] + len(pm.uv_i)
@@ -586,11 +599,34 @@ def save_pair_matches(path, pms: list[tracks_mod.PairMatches]) -> None:
         uv_i=np.concatenate([pm.uv_i for pm in pms]) if pms else np.zeros((0, 2), np.float32),
         uv_j=np.concatenate([pm.uv_j for pm in pms]) if pms else np.zeros((0, 2), np.float32),
         score=np.concatenate([pm.score for pm in pms]) if pms else np.zeros(0, np.float32),
+        fingerprint=np.frombuffer(
+            _json.dumps(fingerprint or {}, sort_keys=True).encode(), np.uint8
+        ),
     )
 
 
-def load_pair_matches(path) -> list[tracks_mod.PairMatches]:
+class StaleMatchesCache(RuntimeError):
+    """Raised when a pair-match cache's fingerprint doesn't match the run."""
+
+
+def load_pair_matches(
+    path, expect_fingerprint: dict | None = None
+) -> list[tracks_mod.PairMatches]:
+    import json as _json
+
     z = np.load(path)
+    if expect_fingerprint is not None:
+        stored = (
+            _json.loads(bytes(z["fingerprint"]).decode())
+            if "fingerprint" in z.files else None
+        )
+        want = _json.loads(_json.dumps(expect_fingerprint, sort_keys=True))
+        if stored != want:
+            raise StaleMatchesCache(
+                f"pair-match cache {path} was written for a different run "
+                f"(stored fingerprint {stored!r} != expected {want!r}); "
+                "delete it or point --matches_cache elsewhere"
+            )
     pair_imgs, offsets = z["pair_imgs"], z["offsets"]
     uv_i, uv_j, score = z["uv_i"], z["uv_j"], z["score"]
     return [

@@ -210,8 +210,11 @@ def fit(
                 files,
                 metadata={
                     "select_metric": select_metric,
-                    "best_step": best["step"],
-                    "best_metric": best["metric"],
+                    # no validation ran -> null, not non-RFC -Infinity/-1
+                    "best_step": best["step"] if best["step"] >= 0 else None,
+                    "best_metric": (
+                        best["metric"] if best["step"] >= 0 else None
+                    ),
                     "final_step": start + n_steps,
                 },
             )

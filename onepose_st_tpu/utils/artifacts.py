@@ -33,15 +33,15 @@ class ArtifactRegistry:
     def __init__(self, root: str | Path):
         self.root = Path(root)
 
-    def _versions(self, name: str) -> list[int]:
+    def _versions(self, name: str, complete_only: bool = True) -> list[int]:
         d = self.root / name
         if not d.is_dir():
             return []
         out = []
         for p in d.iterdir():
             if p.name.startswith("v") and p.name[1:].isdigit() and (
-                p / "manifest.json"
-            ).exists():
+                not complete_only or (p / "manifest.json").exists()
+            ):
                 out.append(int(p.name[1:]))
         return sorted(out)
 
@@ -54,13 +54,20 @@ class ArtifactRegistry:
         """Snapshot `files` ({name-in-artifact: source path}) as the next
         version of `name`. Directories are copied recursively (checkpoint
         dirs are directories of orbax shards). Returns the version dir."""
-        vers = self._versions(name)
+        # Next version counts ALL vN dirs (even manifest-less ones left by a
+        # crashed log_artifact), and files are staged into a temp dir that is
+        # atomically renamed to vN only once the manifest is written — a crash
+        # mid-copy can never wedge the registry name.
+        vers = self._versions(name, complete_only=False)
         vdir = self.root / name / f"v{(vers[-1] + 1) if vers else 0}"
-        vdir.mkdir(parents=True)
+        stage = vdir.parent / f".tmp-{vdir.name}"
+        if stage.exists():
+            shutil.rmtree(stage)
+        stage.mkdir(parents=True)
         entries = {}
         for rel, src in files.items():
             src = Path(src)
-            dst = vdir / rel
+            dst = stage / rel
             if src.is_dir():
                 shutil.copytree(src, dst)
                 fs = sorted(p for p in dst.rglob("*") if p.is_file())
@@ -90,7 +97,8 @@ class ArtifactRegistry:
             "files": entries,
             "metadata": metadata or {},
         }
-        (vdir / "manifest.json").write_text(json.dumps(manifest, indent=1))
+        (stage / "manifest.json").write_text(json.dumps(manifest, indent=1))
+        stage.rename(vdir)
         return vdir
 
     def latest(self, name: str) -> Path | None:
