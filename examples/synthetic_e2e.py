@@ -73,7 +73,10 @@ def main():
                     choices=["none", "correlation", "learned"],
                     help="temporal second pass over the whole orbit as a "
                          "video (the reference's CoTracker POSE OPTIMIZATION "
-                         "loop); reports APs before/after")
+                         "loop); reports APs before/after. 'correlation' is "
+                         "the shipped default backend; 'learned' is "
+                         "experimental (loses to correlation on every "
+                         "round-3 study)")
     ap.add_argument("--tracker_ckpt", default=None,
                     help="weights for --refine learned "
                          "(examples/train_tracker.py output)")

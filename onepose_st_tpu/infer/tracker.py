@@ -7,14 +7,20 @@ their known 3D partners — into a second RANSAC PnP.
 
 Two tracker backends fill the CoTrackerPredictor(..., backward_tracking)
 role:
-  * `TemporalTracker` — a zero-training chained correlation tracker over
-    the matcher backbone's fine (stride-2) features: each query keeps its
-    source-frame descriptor and is advanced frame-by-frame by correlating
-    against a (2r+1)^2 search window with soft-argmax refinement.
-  * `LearnedTemporalTracker` — the trained CoTracker-style windowed
-    transformer (`models/tracker.py`), occlusion-aware like the
+  * `TemporalTracker` — THE SHIPPED DEFAULT: a zero-training chained
+    correlation tracker over the matcher backbone's fine (stride-2)
+    features: each query keeps its source-frame descriptor and is advanced
+    frame-by-frame by correlating against a (2r+1)^2 search window with
+    soft-argmax refinement. Every demonstrated refinement win
+    (EXPERIMENTS.md temporal-refinement studies) comes from this backend.
+  * `LearnedTemporalTracker` — EXPERIMENTAL: the trained CoTracker-style
+    windowed transformer (`models/tracker.py`), occlusion-aware like the
     reference's; one jitted program tracks a whole window and feeds the
-    same union-PnP.
+    same union-PnP. As of round 3 its positional accuracy loses to the
+    correlation chain on every study (accepted learned tracks degraded
+    refined poses, logs/refine_hybrid_r3.log) — do not ship it as a
+    default until it beats `TemporalTracker` on the intermittent-failure
+    protocol.
 `refine_sequence` accepts either.
 """
 from __future__ import annotations
@@ -372,6 +378,7 @@ def refine_sequence(
     window: int = 6,
     max_pts_per_frame: int = 256,
     conf_thr: float = 0.5,
+    own_support_ratio: float = 1.0,
 ) -> list[RefinedResult]:
     """Second-pass pose optimization (reference POSE OPTIMIZATION loop).
 
@@ -379,6 +386,15 @@ def refine_sequence(
     PnP-inlier 2D points into frame t and re-run PnP on the union of the
     frame's own inliers and the tracked points. `tracker` selects the
     backend (correlation chain or the learned windowed transformer).
+
+    `own_support_ratio` is the drift-gate bar: a refined pose is accepted
+    only when it explains at least `ratio x` as many of the frame's OWN
+    matcher-verified correspondences as the first-pass pose did. The
+    default 1.0 makes refinement no-worse-than-baseline on healthy input
+    (the round-3 hybrid study showed 0.8 admits poses that are measurably
+    worse at the 3deg level: logs/refine_hybrid_r3.log, held-out 3cm@3deg
+    0.33 -> 0.0); genuinely degraded frames are still rescued through the
+    base-degradation override below.
     """
     from ..core import so3
 
@@ -520,7 +536,8 @@ def refine_sequence(
             base.n_inliers < 3 * cfg.pnp.min_inliers
         )
         strong = degraded and n_inl >= 2 * max(base.n_inliers, cfg.pnp.min_inliers)
-        if ok and not strong and int(n_own_ref_d) < 0.8 * int(n_own_base_d):
+        if (ok and not strong
+                and int(n_own_ref_d) < own_support_ratio * int(n_own_base_d)):
             ok = False
         if not ok:
             out.append(RefinedResult(base.pose6, base.T44, base.n_inliers, 0,

@@ -292,3 +292,99 @@ def test_refine_sequence_hybrid_polish(rng):
         assert np.isfinite(r.T44).all()
         r_err, t_err = metrics.query_pose_error(r.T44[:3], T44_of(f)[:3])
         assert r_err < 1.0 and t_err < 1.0, (f, r_err, t_err)
+
+
+@pytest.mark.slow
+def test_refine_no_regression_on_healthy_run(rng):
+    """Round-3 hybrid-study regression (logs/refine_hybrid_r3.log): on a
+    HEALTHY sequence — base poses imperfect but sound, own matches clean —
+    an accepted refinement must never make a frame's pose worse. With the
+    own-support bar at 1.0 an accepted pose explains the frame's own
+    matcher-verified correspondences at least as well as the base did;
+    with garbage learned proposals the gate may simply reject everything
+    (gate recall 0 on healthy input is correct behavior)."""
+    from onepose_st_tpu import config as ecfg
+    from onepose_st_tpu.core import metrics, so3
+    from onepose_st_tpu.data import synthetic
+    from onepose_st_tpu.infer.pipeline import FrameResult
+    from onepose_st_tpu.infer.tracker import (
+        LearnedTemporalTracker, TemporalTracker, refine_sequence,
+    )
+    from onepose_st_tpu.models import OnePoseMatcher
+
+    from test_models import small_matcher_cfg
+
+    scene = synthetic.make_scene(
+        rng, n_points=70, n_frames=60, image_hw=(64, 64), focal=90.0,
+        object_size=0.25, elevation_jitter=0.0,
+    )
+    T = 8
+    amps = rng.uniform(0.3, 1.0, size=70).astype(np.float32)
+    frames = np.stack([
+        synthetic.render_splats(scene, f, amps, sigma_px=2.0)
+        for f in range(T)
+    ])
+
+    def T44_of(f):
+        M = np.eye(4, dtype=np.float32)
+        M[:3, :3] = scene.Rs[f]
+        M[:3, 3] = scene.ts[f]
+        return M
+
+    # healthy-but-imperfect base poses: ~2 deg rotation / ~1 cm translation
+    # noise on top of GT (the hybrid-study condition; the older tests use
+    # exact-GT bases, which never exposed the 0.8x slack)
+    noise_rng = np.random.default_rng(7)
+    results = []
+    base_errs = []
+    for f in range(T):
+        vis = np.nonzero(scene.visible[f])[0][:40]
+        uv = scene.uv[f][vis]
+        p3 = scene.points[vis]
+        p6 = scene.poses[f].copy()
+        p6[:3] += noise_rng.normal(0.0, 0.015, 3)   # ~1.5e-2 rad ~ 0.9 deg rms
+        p6[3:] += noise_rng.normal(0.0, 0.005, 3)   # 5 mm rms
+        R, t = so3.pose6_to_Rt(jnp.asarray(p6))
+        M = np.eye(4, dtype=np.float32)
+        M[:3, :3] = np.asarray(R)
+        M[:3, 3] = np.asarray(t)
+        base_errs.append(metrics.query_pose_error(M[:3], T44_of(f)[:3]))
+        results.append(FrameResult(
+            pose6=p6.astype(np.float32), T44=M, n_inliers=len(uv),
+            n_matches=len(uv), tracked=True, success=True,
+            mkpts3d=p3.astype(np.float32), mkpts2d_full=uv.astype(np.float32),
+        ))
+
+    mcfg = small_matcher_cfg()
+    matcher = OnePoseMatcher(mcfg)
+    L = mcfg.n_points
+    mvars = matcher.init(
+        jax.random.key(1), jnp.asarray(frames[:1, ..., None]),
+        jnp.zeros((1, L, 3)), jnp.zeros((1, L, 32)), jnp.zeros((1, L, 16)),
+    )
+    cfg = ecfg.EngineConfig(tracker=tiny_cfg(window=6), matcher=mcfg)
+    b = tracker_data.make_batch(
+        np.random.default_rng(1), 1, T=6, H=64, W=64, n_points=8
+    )
+    model = CoTrackerNet(cfg.tracker)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.asarray(b["frames"]), jnp.asarray(b["query_uv"]),
+        jnp.asarray(b["query_frame"]), jnp.asarray(b["point_mask"]),
+    )
+    tracker = LearnedTemporalTracker(
+        cfg.tracker, variables, polish=TemporalTracker(matcher, mvars),
+    )
+    refined = refine_sequence(
+        cfg, tracker, frames, results, scene.Ks, window=6,
+        max_pts_per_frame=16,
+    )
+    assert len(refined) == T
+    for f, r in enumerate(refined):
+        assert np.isfinite(r.T44).all()
+        r_err, t_err = metrics.query_pose_error(r.T44[:3], T44_of(f)[:3])
+        b_r, b_t = base_errs[f]
+        # no-regression contract: every frame ends at least as good as its
+        # healthy base (small slack for PnP jitter on genuinely-accepted
+        # refinements)
+        assert r_err <= b_r + 0.2 and t_err <= b_t + 0.2, (
+            f, (r_err, t_err), (b_r, b_t), r.gated)
