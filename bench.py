@@ -50,6 +50,37 @@ def _peak_flops(device) -> float:
 
 
 _ACHIEVABLE = None
+_CONTAMINATED: str | None = None
+_CALIB_PATH = ".bench_calib.json"
+
+
+def _load_calib(kind: str) -> float | None:
+    import os
+
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".", _CALIB_PATH)) as f:
+            return json.load(f).get(kind)
+    except Exception:
+        return None
+
+
+def _store_calib(kind: str, tflops: float) -> None:
+    import os
+
+    path = os.path.join(os.path.dirname(__file__) or ".", _CALIB_PATH)
+    try:
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except Exception:
+            d = {}
+        # running max: the cleanest run ever seen on this device kind is the
+        # ceiling record (a loaded chip can only measure lower)
+        d[kind] = max(tflops, d.get(kind, 0.0))
+        with open(path, "w") as f:
+            json.dump(d, f, indent=1)
+    except OSError:
+        pass
 
 
 def _achievable_flops() -> float:
@@ -59,14 +90,25 @@ def _achievable_flops() -> float:
     (EXPERIMENTS.md calibration); nominal-peak rooflines flatter nobody and
     mislead everybody, so every mode reports vs_achievable against this
     measured ceiling alongside vs_baseline (nominal).
+
+    Load-contamination guard (round-3 lesson: BENCH_r03 was captured while
+    background training was running and understated the engine by 40%):
+    the probe re-runs up to 3 attempts when (a) the 5-shot timing spread
+    exceeds 10% of the median, or (b) the measured rate sits >20% below
+    the persisted per-device-kind calibration (.bench_calib.json, a
+    running max of clean runs). If every attempt fails both checks, the
+    run is ANNOTATED with "contaminated" in every roofline dict rather
+    than silently reported.
     """
-    global _ACHIEVABLE
+    global _ACHIEVABLE, _CONTAMINATED
     if _ACHIEVABLE is not None:
         return _ACHIEVABLE
     import jax
     import jax.numpy as jnp
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    kind = getattr(dev, "device_kind", "cpu")
     # reps amortize the one host sync per timed call: over the tunnel the
     # device->host scalar fetch costs ~10 ms RTT, which at 8 reps (~10 ms
     # of GEMM work) halves the apparent rate — 64 reps push that below 5%.
@@ -83,20 +125,49 @@ def _achievable_flops() -> float:
         return jax.lax.fori_loop(0, reps, body, a)
 
     float(jnp.sum(gemm_loop(a, b).astype(jnp.float32)))  # compile+warm
-    # Median of 5 timed runs: a single shot over the tunnel swings up to 3x
-    # run-to-run (BENCH_r02 measured 34 TF/s vs EXPERIMENTS.md's 102 TF/s
-    # for the same probe), which produced a self-contradictory roofline.
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = gemm_loop(a, b)
-        float(jnp.sum(out.astype(jnp.float32)))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    ach = (2 * n**3 * reps) / dt
+    persisted = _load_calib(kind)
+    best_ach, best_reason = 0.0, None
+    for attempt in range(3):
+        # Median of 5 timed runs: a single shot over the tunnel swings up
+        # to 3x run-to-run (BENCH_r02 measured 34 TF/s vs EXPERIMENTS.md's
+        # 102 TF/s for the same probe).
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = gemm_loop(a, b)
+            float(jnp.sum(out.astype(jnp.float32)))
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        spread = (max(times) - min(times)) / med
+        ach = (2 * n**3 * reps) / med
+        reason = None
+        if spread > 0.10:
+            reason = f"gemm-probe timing spread {spread:.0%} (>10%): " \
+                     "concurrent load on the chip"
+        elif persisted is not None and ach < 0.8 * persisted * 1e12:
+            reason = (
+                f"measured {ach/1e12:.1f} TF/s is {1 - ach/(persisted*1e12):.0%} "
+                f"below the persisted calibration {persisted:.1f} TF/s"
+            )
+        if ach > best_ach:
+            best_ach, best_reason = ach, reason
+        if reason is None:
+            best_ach, best_reason = ach, None
+            break
+        time.sleep(2.0)
+    if best_reason is None and on_tpu:
+        _store_calib(kind, best_ach / 1e12)
+    _CONTAMINATED = best_reason
+    if best_reason is not None:
+        print(f"WARNING: bench contaminated: {best_reason}", file=sys.stderr)
+        # report against the persisted clean ceiling, not the depressed
+        # probe — vs_achievable then honestly shows the (contaminated)
+        # workload against the chip's true capability
+        if persisted is not None:
+            best_ach = max(best_ach, persisted * 1e12)
     # Sanity bound: a measured GEMM cannot beat the chip's nominal peak.
-    peak = _peak_flops(jax.devices()[0])
-    _ACHIEVABLE = min(ach, peak)
+    peak = _peak_flops(dev)
+    _ACHIEVABLE = min(best_ach, peak)
     return _ACHIEVABLE
 
 
@@ -127,6 +198,8 @@ def _roofline(flops: float, dt: float) -> dict:
     }
     if raised:
         out["calib_raised"] = True
+    if _CONTAMINATED is not None:
+        out["contaminated"] = _CONTAMINATED
     assert out["vs_achievable"] <= 1.05, out
     return out
 
@@ -454,7 +527,7 @@ def bench_closed_loop_real(n_frames: int = 40, image: int = 512) -> dict:
     jax.device_get(out)
     dev_ms = (time.perf_counter() - t0) / reps * 1e3
 
-    return {
+    out = {
         "metric": f"closed_loop_real_fps_1chip_{image}px_tracked",
         "value": round(1.0 / dt, 2),
         "unit": "frames/s",
@@ -464,6 +537,10 @@ def bench_closed_loop_real(n_frames: int = 40, image: int = 512) -> dict:
         "vs_baseline": round(1.0 / dt / 21.5, 4),  # vs the fused-program-only
                                                    # bench_pipeline fps
     }
+    _achievable_flops()  # runs the contamination probe if not yet run
+    if _CONTAMINATED is not None:
+        out["contaminated"] = _CONTAMINATED
+    return out
 
 
 def bench_scaling(batch_per_dev: int = 8, iters: int = 20) -> list[dict]:
@@ -559,6 +636,52 @@ def bench_scaling(batch_per_dev: int = 8, iters: int = 20) -> list[dict]:
             "efficiency_def": "weak_scaling" if on_tpu else "sharding_overhead_fixed_work",
             "vs_baseline": round(eff, 4),
         })
+
+    # --- no-collectives per-device control (CPU proxy only) ---------------
+    # Attributes the sharded-run efficiency by measurement (round-3 weak #6):
+    # the same total work is run as n SEQUENTIAL single-device jit calls of
+    # batch B_fixed/n — no mesh, no collectives, no concurrent shards. If
+    # this control's efficiency matches the sharded run's, the loss is the
+    # small-batch kernel effect on the shared-core proxy, not sharding
+    # overhead; any gap between control and sharded IS the sharding cost.
+    if not on_tpu:
+        mesh1 = make_mesh(1)
+        for n in sizes:
+            if B_fixed % n:
+                continue
+            Bc = B_fixed // n
+            img = rng.uniform(size=(Bc, H, W, 1)).astype(np.float32)
+            kpts = rng.uniform(-0.1, 0.1, size=(Bc, L, 3)).astype(np.float32)
+            dc = rng.normal(size=(Bc, L, cfg.coarse.d_model)).astype(np.float32)
+            df = rng.normal(size=(Bc, L, cfg.fine.d_model)).astype(np.float32)
+            mask = np.ones((Bc, L), bool)
+            args = [jnp.asarray(a) for a in (img, kpts, dc, df, mask)]
+
+            def fwd(v, img, kpts, dc, df, mask):
+                o = model.apply(v, img, kpts, dc, df, mask)
+                return (
+                    jnp.sum(o["mkpts_query_f"]) + jnp.sum(o["matches"].conf)
+                )
+
+            fwd_jit = jax.jit(fwd)
+            float(fwd_jit(variables0, *args))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                cs = [fwd_jit(variables0, *args) for _ in range(n)]
+            float(sum(float(c) for c in cs))
+            dt = (time.perf_counter() - t0) / iters
+            fps = B_fixed / dt
+            eff = fps / base_fps
+            out.append({
+                "metric": f"scaling_matcher_fwd_CONTROL_seq_{n}x_b{Bc}",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "n_devices": 1,
+                "chunks": n,
+                "efficiency": round(eff, 4),
+                "efficiency_def": "no_collectives_sequential_chunks_fixed_work",
+                "vs_baseline": round(eff, 4),
+            })
 
     # --- sharded bundle-adjustment scaling --------------------------------
     # reference map scale (15k tracks, sfm_demo.yaml:17) on every platform

@@ -1,0 +1,26 @@
+#!/bin/bash
+# Regenerate SCALING_CPU_PROXY.json with the no-collectives control rows
+# (round-3 VERDICT weak #6 / next-round #9).
+set -u
+cd /root/repo
+JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  timeout 3000 python -u bench.py scaling > /tmp/scaling_rows.jsonl 2>logs/r4_scaling_proxy.log
+python - <<'PYEOF'
+import json
+rows = [json.loads(l) for l in open('/tmp/scaling_rows.jsonl') if l.strip()]
+note = (
+  "flagship dims (d=256, L=7040, 3x(self,cross)) on 8 virtual CPU devices "
+  "sharing 2 physical cores. efficiency = sharding overhead at fixed total "
+  "work (fps_sharded(n) / fps_1dev, same total batch). CONTROL rows run the "
+  "same total work as n SEQUENTIAL single-device jit calls of batch B/n - "
+  "no mesh, no collectives, no concurrent shards: if control efficiency "
+  "matches the sharded row, the loss is the small-batch kernel effect on "
+  "the shared-core proxy, not sharding overhead; the control-vs-sharded "
+  "gap IS the sharding cost. The 15000-track Schur BA (psum-reduced camera "
+  "system, point blocks sharded) measures ~1.0: sharding is free at "
+  "reference map scale."
+)
+json.dump({"note": note, "rows": rows}, open('SCALING_CPU_PROXY.json','w'), indent=1)
+print("rows:", len(rows))
+PYEOF
+echo SCALING_PROXY_DONE
