@@ -739,6 +739,16 @@ def bench_scaling(batch_per_dev: int = 8, iters: int = 20) -> list[dict]:
 
 
 def main():
+    import os
+
+    if os.environ.get("BENCH_CPU_PROXY"):
+        # the container's sitecustomize imports jax at interpreter start, so
+        # JAX_PLATFORMS in the env is too late — force the CPU proxy here
+        # (same mechanism as tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
     from onepose_st_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()

@@ -73,6 +73,12 @@ def main():
                     help="ablation: skip masking SfM matches to the "
                          "projected object box")
     ap.add_argument("--eval_conf_thr", type=float, default=None)
+    ap.add_argument("--pnp_recenter", type=int, default=0,
+                    help="inference-time fine re-centering rounds "
+                         "(PnPConfig.recenter_iters)")
+    ap.add_argument("--pnp_tight", type=float, default=0.0,
+                    help="tight second GN stage threshold px "
+                         "(PnPConfig.tight_refine_px)")
     ap.add_argument("--wander", type=float, default=0.12)
     ap.add_argument("--wild_radius", type=float, default=None,
                     help="wild-sequence camera orbit radius (default: the "
@@ -316,12 +322,18 @@ def main():
         # truncated-object framing (wild_diag_r3f: bad frames have up to
         # 49% of the box past the frame edge).
         n_aug = args.n_aug
+        full_hw = (args.full_image, args.full_image)
         crops_tr = [crops]
         K_tr = [K_crops]
         pose_tr = [scene.poses]
+        quads_tr = [np.stack([
+            img_ops.valid_quad_from_affine(A3s[f], full_hw)
+            for f in range(n_scan)
+        ])]
         for a in range(n_aug):
             cj = np.zeros_like(crops)
             kj = np.zeros_like(K_crops)
+            qj = np.zeros((n_scan, 4, 2), np.float32)
             for f in range(n_scan):
                 uv_box, _ = camera.project(
                     jnp.asarray(corners), jnp.asarray(scene.poses[f]),
@@ -342,16 +354,23 @@ def main():
                               np.float32)
                 cj[f], A3j = img_ops.crop_image(scan_full[f], bj, crop_hw)
                 kj[f] = (A3j @ scene.Ks[f]).astype(np.float32)
+                qj[f] = img_ops.valid_quad_from_affine(A3j, full_hw)
             crops_tr.append(cj)
             K_tr.append(kj)
             pose_tr.append(scene.poses)
+            quads_tr.append(qj)
         crops_all = np.concatenate(crops_tr)
         K_all = np.concatenate(K_tr)
         poses_all = np.concatenate(pose_tr)
+        # per-crop valid quads: jittered windows past the frame edge carry
+        # black warp-fill — masked out of attention/matching/supervision
+        # instead of supervised as (hallucinated) positives
+        quads_all = np.concatenate(quads_tr)
         batches = data_mod.map_training_batches(
             sfm_map, crops_all, poses_all, K_all, cfg, rng,
             batch_size=args.batch,
             homography_prob=0.3, photometric="dark",
+            valid_quads=quads_all,
         )
         t0 = time.time()
         state, _ = loop_mod.fit(
@@ -380,6 +399,11 @@ def main():
         eval_cfg = cfg_lib.replace(cfg, matcher=cfg_lib.replace(
             cfg.matcher, coarse_matching=cfg_lib.replace(
                 cfg.matcher.coarse_matching, threshold=args.eval_conf_thr)))
+    if args.pnp_recenter or args.pnp_tight:
+        eval_cfg = cfg_lib.replace(eval_cfg, pnp=cfg_lib.replace(
+            eval_cfg.pnp, recenter_iters=args.pnp_recenter,
+            tight_refine_px=args.pnp_tight,
+        ))
     eval_model = OnePoseMatcher(eval_cfg.matcher)
 
     if loftr is None:
@@ -489,7 +513,10 @@ def main():
         K_crop_f = np.asarray(
             camera.crop_K(jnp.asarray(wscene.Ks[f]), box, crop_hw)
         )
-        o_results.append(est_oracle.estimate(crop_f, K_crop_f, frame_idx=f))
+        o_results.append(est_oracle.estimate(
+            crop_f, K_crop_f, frame_idx=f,
+            crop_affine=A3_f, src_frame_hw=frames_eval[f].shape[:2],
+        ))
     o_pred = np.stack([r.T44 for r in o_results])
     o_succ = np.asarray([r.success for r in o_results])
     o_rep = evaluate_poses(

@@ -115,6 +115,15 @@ def main():
                          "worse matcher, the reference's motivation for the "
                          "CoTracker phase) so the temporal tracker's "
                          "improvement is measurable")
+    ap.add_argument("--pnp_recenter", type=int, default=0,
+                    help="inference-time fine re-centering rounds "
+                         "(PnPConfig.recenter_iters): re-run the fine stage "
+                         "with windows at the current pose's reprojections, "
+                         "then re-run PnP")
+    ap.add_argument("--pnp_tight", type=float, default=0.0,
+                    help="second Gauss-Newton stage on inliers reselected "
+                         "at this tight px threshold "
+                         "(PnPConfig.tight_refine_px)")
     ap.add_argument("--eval_conf_thr", type=float, default=None,
                     help="override the coarse confidence threshold at eval "
                          "(mutual-NN + RANSAC tolerate low-conf matches; "
@@ -390,30 +399,34 @@ def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids, rng):
 
     # --- held-out inference + eval ----------------------------------------
     k, dc, df, s, mask = sfm_map.padded(L)
-    eval_model = model
+    eval_cfg = cfg
     if args.eval_conf_thr is not None:
-        eval_model = OnePoseMatcher(cfg_lib.replace(
-            cfg.matcher,
+        eval_cfg = cfg_lib.replace(eval_cfg, matcher=cfg_lib.replace(
+            eval_cfg.matcher,
             coarse_matching=cfg_lib.replace(
-                cfg.matcher.coarse_matching, threshold=args.eval_conf_thr
+                eval_cfg.matcher.coarse_matching,
+                threshold=args.eval_conf_thr,
             ),
         ))
-    apply = jax.jit(lambda v, im, k_, dc_, df_, m_: eval_model.apply(v, im, k_, dc_, df_, m_))
+    if args.pnp_recenter or args.pnp_tight:
+        eval_cfg = cfg_lib.replace(eval_cfg, pnp=cfg_lib.replace(
+            eval_cfg.pnp, recenter_iters=args.pnp_recenter,
+            tight_refine_px=args.pnp_tight,
+        ))
+    eval_model = OnePoseMatcher(eval_cfg.matcher)
+    from onepose_st_tpu.infer.pipeline import make_fwd_pnp
+
+    fwd_pnp = make_fwd_pnp(eval_model, eval_cfg)
+    kB, dcB = jnp.asarray(k)[None], jnp.asarray(dc)[None]
+    dfB, maskB = jnp.asarray(df)[None], jnp.asarray(mask)[None]
     pred_T, gt_T = [], []
     from scipy.spatial.transform import Rotation
 
     for t in eval_ids:
-        out = apply(
+        _, _, _, res = fwd_pnp(
             trained, jnp.asarray(frames[t][None, ..., None]),
-            jnp.asarray(k)[None], jnp.asarray(dc)[None],
-            jnp.asarray(df)[None], jnp.asarray(mask)[None],
-        )
-        valid = np.asarray(out["matches"].valid[0])
-        P3 = np.asarray(out["mkpts3d"][0])
-        P2 = np.asarray(out["mkpts_query_f"][0])
-        res = ransac_pnp(
-            jax.random.key(int(t)), jnp.asarray(P3), jnp.asarray(P2),
-            jnp.asarray(scene.Ks[t]), jnp.asarray(valid), cfg.pnp,
+            kB, dcB, dfB, maskB,
+            jnp.asarray(scene.Ks[t]), jax.random.key(int(t)),
         )
         T44 = np.eye(4)
         from onepose_st_tpu.core import so3
@@ -463,6 +476,14 @@ def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids, rng):
         t0 = time.time()
         results, gt_all = [], []
         eval_set = {int(e) for e in eval_ids}
+        # the video pass needs the raw match tensors on host (the degrade_*
+        # flags perturb them before PnP), so it keeps a separate unfused
+        # matcher apply rather than make_fwd_pnp
+        apply = jax.jit(
+            lambda v, im, k_, dc_, df_, m_: eval_model.apply(
+                v, im, k_, dc_, df_, m_
+            )
+        )
         for t in range(args.frames):
             out = apply(
                 trained, jnp.asarray(frames[t][None, ..., None]),

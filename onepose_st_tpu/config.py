@@ -180,6 +180,16 @@ class PnPConfig:
     lo_rounds: int = 2            # LO-RANSAC: re-solve from the best inlier
     lo_hypotheses: int = 64       # set with larger non-minimal samples
     lo_sample_size: int = 16
+    tight_refine_px: float = 0.0  # >0: second Gauss-Newton stage on inliers
+                                  # reselected at this tight threshold (the
+                                  # sub-centimetre regime is rotation-bound;
+                                  # a 1-1.5 px tight set de-weights the
+                                  # loose-threshold tail)
+    recenter_iters: int = 0       # inference-time fine re-centering rounds:
+                                  # re-run the fine stage with windows at the
+                                  # current pose's reprojections, then re-run
+                                  # PnP (mirrors the map-side refine_iters
+                                  # win, sfm/pipeline.py:258-280)
 
 
 @dataclass(frozen=True)

@@ -20,10 +20,77 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig
+from ..core import camera
 from ..data import images as img_ops
 from ..sfm.map import SfMMap
 from ..solvers import ransac_pnp
 from .detector import Detection, ObjectDetector
+
+
+def make_fwd_pnp(matcher_model, cfg: EngineConfig):
+    """Build the fused per-frame device program: matcher forward + RANSAC
+    PnP (+ optional fine re-centering rounds) in ONE dispatch.
+
+    With cfg.pnp.recenter_iters > 0, each round reprojects the matched 3D
+    points with the current pose, re-runs the fine stage with windows
+    centered on the reprojected cells (the original windows sit on the
+    matched coarse cell — a true correspondence near the cell corner lands
+    at the heatmap boundary where the softmax expectation is biased
+    center-ward), and re-runs PnP on the re-centered sub-pixel points.
+    The re-centered result is kept only when its consensus is at least as
+    large. Mirrors the map-side iterative refinement win
+    (sfm/pipeline.py refine_iters, reproj 1.24 -> 1.05 px).
+    """
+    import jax.tree_util as jtu
+
+    from ..models.matcher2d3d import OnePoseMatcher
+
+    pnp_cfg = cfg.pnp
+    stride = cfg.matcher.backbone.coarse_stride
+
+    def fwd_pnp(variables, img, kpts, dc, df, mask, K_crop, rng,
+                img_mask=None):
+        out = matcher_model.apply(
+            variables, img, kpts, dc, df, mask, img_mask=img_mask
+        )
+        mk3d = out["mkpts3d"][0]
+        mk2d = out["mkpts_query_f"][0]
+        valid = out["matches"].valid
+        res = ransac_pnp(rng, mk3d, mk2d, K_crop, valid[0], pnp_cfg)
+        Hc, Wc = out["coarse_hw"]
+        for it in range(pnp_cfg.recenter_iters):
+            uv_proj, depth = camera.project(mk3d, res.pose6, K_crop)
+            xc = jnp.clip(
+                jnp.floor(uv_proj[:, 0] / stride), 0, Wc - 1
+            ).astype(jnp.int32)
+            yc = jnp.clip(
+                jnp.floor(uv_proj[:, 1] / stride), 0, Hc - 1
+            ).astype(jnp.int32)
+            j2 = yc * Wc + xc
+            inb = (
+                (uv_proj[:, 0] >= 0) & (uv_proj[:, 0] < Wc * stride)
+                & (uv_proj[:, 1] >= 0) & (uv_proj[:, 1] < Hc * stride)
+                & (depth > 0)
+            )
+            if img_mask is not None:
+                inb = inb & jnp.take(img_mask[0], j2)
+            fine2 = matcher_model.apply(
+                variables, out["feat_f"], df,
+                out["i_ids"], j2[None], (Hc, Wc),
+                method=OnePoseMatcher.fine,
+            )
+            mk2d_rc = fine2["mkpts_query_f"][0]
+            v2 = valid[0] & inb
+            res2 = ransac_pnp(
+                jax.random.fold_in(rng, it + 1), mk3d, mk2d_rc, K_crop,
+                v2, pnp_cfg,
+            )
+            take = res2.n_inliers >= res.n_inliers
+            res = jtu.tree_map(lambda a, b: jnp.where(take, a, b), res2, res)
+            mk2d = jnp.where(take, mk2d_rc, mk2d)
+        return mk3d, mk2d, valid, res
+
+    return jax.jit(fwd_pnp)
 
 
 class FrameResult(NamedTuple):
@@ -61,32 +128,29 @@ class PoseEstimator:
         self._prev_pose: np.ndarray | None = None
         self._lost = True
 
-        pnp_cfg = cfg.pnp
-
-        def fwd_pnp(variables, img, kpts, dc, df, mask, K_crop, rng):
-            """Matcher forward + RANSAC PnP fused into ONE device program:
-            per-frame latency pays a single dispatch (the tunnel's dispatch
-            floor is ~2.5 ms, comparable to the compute itself) and the
-            match tensors never round-trip to the host."""
-            out = matcher_model.apply(variables, img, kpts, dc, df, mask)
-            mk3d = out["mkpts3d"][0]
-            mk2d = out["mkpts_query_f"][0]
-            res = ransac_pnp(rng, mk3d, mk2d, K_crop, out["matches"].valid[0], pnp_cfg)
-            return mk3d, mk2d, out["matches"].valid, res
-
-        self._fwd_pnp = jax.jit(fwd_pnp)
+        # fused matcher forward + RANSAC PnP: per-frame latency pays a
+        # single dispatch (the tunnel's dispatch floor is ~2.5 ms,
+        # comparable to the compute itself) and the match tensors never
+        # round-trip to the host. `img_mask` [1, S] marks crop cells backed
+        # by real frame pixels (truncated-object crops contain black
+        # warp-fill that must not vote or match).
+        self._fwd_pnp = make_fwd_pnp(matcher_model, cfg)
 
     def reset(self):
         self._prev_pose = None
         self._lost = True
 
     def estimate(
-        self, frame: np.ndarray, K: np.ndarray, frame_idx: int = 0
+        self, frame: np.ndarray, K: np.ndarray, frame_idx: int = 0,
+        crop_affine: np.ndarray | None = None,
+        src_frame_hw: tuple[int, int] | None = None,
     ) -> FrameResult:
         """frame: [H, W] grayscale [0,1]; K: [3,3] full-image intrinsics.
 
         With no detector configured, frames are treated as pre-cropped
-        (object-centered, divisor-8 sized) and K as the crop intrinsics.
+        (object-centered, divisor-8 sized) and K as the crop intrinsics;
+        `crop_affine`/`src_frame_hw` (the A3 and source-frame size the crop
+        was made with) then enable the warp-fill visibility mask.
         """
         det: Detection | None = None
         tracked = False
@@ -94,9 +158,12 @@ class PoseEstimator:
             # pre-cropped input mode (reference batch-eval path,
             # inference dataset images already object-centered): the whole
             # frame is the crop and K is already the crop intrinsics
-            crop, K_crop, A3 = frame, K, np.eye(3, dtype=np.float32)
+            crop, K_crop = frame, K
+            A3 = (np.eye(3, dtype=np.float32)
+                  if crop_affine is None else crop_affine)
             return self._match_and_pnp(
-                crop, K_crop, A3, tracked=False, frame_idx=frame_idx
+                crop, K_crop, A3, tracked=False, frame_idx=frame_idx,
+                frame_hw=src_frame_hw,
             )
         if (
             not self._lost
@@ -120,7 +187,9 @@ class PoseEstimator:
             )
 
         crop, K_crop, A3 = self.detector.crop(frame, det, K)
-        return self._match_and_pnp(crop, K_crop, A3, tracked, frame_idx)
+        return self._match_and_pnp(
+            crop, K_crop, A3, tracked, frame_idx, frame_hw=frame.shape[:2]
+        )
 
     def _match_and_pnp(
         self,
@@ -129,14 +198,24 @@ class PoseEstimator:
         A3: np.ndarray,
         tracked: bool,
         frame_idx: int,
+        frame_hw: tuple[int, int] | None = None,
     ) -> FrameResult:
         from scipy.spatial.transform import Rotation
 
         cfg = self.cfg
         kpts, dc, df, mask = self._cloud
+        img_mask = None
+        if frame_hw is not None:
+            # visibility of crop cells: crops hanging past the frame edge
+            # carry black warp-fill; dead cells are excluded from matching
+            img_mask = jnp.asarray(img_ops.valid_cell_mask(
+                A3, frame_hw, crop.shape[:2],
+                cfg.matcher.backbone.coarse_stride,
+            )[None])
         out_dev = self._fwd_pnp(
             self.variables, jnp.asarray(crop[None, ..., None]), kpts, dc, df, mask,
             jnp.asarray(K_crop), jax.random.key(frame_idx),
+            img_mask=img_mask,
         )
         # ONE batched device->host fetch for everything this frame needs:
         # separate np.asarray() calls are separate transfers, each paying

@@ -65,7 +65,14 @@ class OnePoseMatcher(nn.Module):
         kpts3d_mask: jax.Array | None = None,   # [B, L] bool (True = real)
         train: bool = False,
         dense_conf: bool = False,
+        img_mask: jax.Array | None = None,      # [B, Hc*Wc] bool (True = real
+                                                # source pixels behind the cell)
     ) -> dict[str, Any]:
+        """`img_mask` marks coarse-grid cells backed by real source pixels:
+        detector crops of a truncated object contain black warp-fill past
+        the frame edge, and those dead cells must neither vote in attention
+        nor produce matches (wild_diag r3f/r3h: black-fill tokens explain
+        the truncated-frame failures)."""
         c = self.cfg
         B, H, W, _ = query_image.shape
         Hc, Wc = H // c.backbone.coarse_stride, W // c.backbone.coarse_stride
@@ -79,9 +86,11 @@ class OnePoseMatcher(nn.Module):
         )
         if kpts3d_mask is not None:
             p_tokens = p_tokens * kpts3d_mask[..., None].astype(p_tokens.dtype)
+        if img_mask is not None:
+            q_tokens = q_tokens * img_mask[..., None].astype(q_tokens.dtype)
 
         q_tokens, p_tokens = self.loftr_coarse(
-            q_tokens, p_tokens, mask0=None, mask1=kpts3d_mask
+            q_tokens, p_tokens, mask0=img_mask, mask1=kpts3d_mask
         )
         border = match_ops.grid_border_mask((Hc, Wc), c.coarse_matching.border_rm)
         if train or dense_conf:
@@ -91,12 +100,14 @@ class OnePoseMatcher(nn.Module):
                 q_tokens,
                 temperature=c.coarse_matching.temperature,
                 mask0=kpts3d_mask,
+                mask1=img_mask,
             )
             matches = match_ops.extract_matches(
                 conf,
                 threshold=c.coarse_matching.threshold,
                 max_matches=c.coarse_matching.max_matches,
                 border_mask_cols=border,
+                col_mask=img_mask,
             )
         else:
             # inference: fused Pallas scoring, conf never materialized
@@ -109,6 +120,7 @@ class OnePoseMatcher(nn.Module):
                 max_matches=c.coarse_matching.max_matches,
                 point_mask=kpts3d_mask,
                 border_mask_cols=border,
+                col_mask=img_mask,
             )
         return {
             "conf_matrix": conf,
@@ -169,9 +181,11 @@ class OnePoseMatcher(nn.Module):
         fine_ids: tuple[jax.Array, jax.Array] | None = None,
         train: bool = False,
         dense_conf: bool = False,
+        img_mask: jax.Array | None = None,
     ) -> dict[str, Any]:
         out = self.coarse(
-            query_image, kpts3d, desc3d_coarse, kpts3d_mask, train, dense_conf
+            query_image, kpts3d, desc3d_coarse, kpts3d_mask, train, dense_conf,
+            img_mask=img_mask,
         )
         if fine_ids is not None:
             i_ids, j_ids = fine_ids

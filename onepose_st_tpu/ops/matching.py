@@ -72,6 +72,7 @@ def extract_matches(
     max_matches: int,
     border_mask_rows: jax.Array | None = None,
     border_mask_cols: jax.Array | None = None,
+    col_mask: jax.Array | None = None,
 ) -> Matches:
     """Mutual-nearest + threshold matches with a static top-K cap.
 
@@ -79,6 +80,9 @@ def extract_matches(
       conf: [B, L, S] dual-softmax confidences.
       border_mask_rows: optional [L] bool (True=keep) for grid-shaped rows.
       border_mask_cols: optional [S] bool for grid-shaped cols.
+      col_mask: optional PER-SAMPLE [B, S] bool (True=keep) — e.g. the
+        visibility mask of crop cells backed by real source pixels (black
+        warp-fill cells must not produce matches).
     Returns: Matches with K = max_matches, ranked by confidence.
     """
     B, L, S = conf.shape
@@ -89,6 +93,8 @@ def extract_matches(
         mutual = mutual & border_mask_cols[None, None, :]
     if border_mask_rows is not None:
         mutual = mutual & border_mask_rows[None, :, None]
+    if col_mask is not None:
+        mutual = mutual & col_mask[:, None, :]
 
     masked = jnp.where(mutual, conf, 0.0)
     row_conf = jnp.max(masked, axis=2)            # [B, L]

@@ -171,26 +171,43 @@ def ransac_pnp(
         n_best = jnp.maximum(c_l[b_l], n_best)
 
     # --- 4. Gauss-Newton polish on inliers (fixed iterations)
-    w = inliers.astype(jnp.float32)
+    def gn_polish(pose, w, n_iters):
+        def gn_step(pose, _):
+            def res_flat(p):
+                return (
+                    _reproj_residual(p, pts3d, uv, K) * w[:, None]
+                ).reshape(-1)
 
-    def gn_step(pose, _):
-        def res_flat(p):
-            return (_reproj_residual(p, pts3d, uv, K) * w[:, None]).reshape(-1)
+            r = res_flat(pose)
+            J = jax.jacfwd(res_flat)(pose)                 # [2N, 6]
+            JtJ = jnp.matmul(J.T, J, precision=_PREC)
+            Jtr = jnp.matmul(J.T, r, precision=_PREC)
+            with jax.default_matmul_precision("highest"):
+                delta = jnp.linalg.solve(
+                    JtJ + 1e-6 * jnp.eye(6, dtype=JtJ.dtype), Jtr
+                )
+            cand = pose - delta
+            # accept only if cost decreases (guards divergent steps)
+            better = jnp.sum(res_flat(cand) ** 2) < jnp.sum(r**2)
+            return jnp.where(better, cand, pose), None
 
-        r = res_flat(pose)
-        J = jax.jacfwd(res_flat)(pose)                     # [2N, 6]
-        JtJ = jnp.matmul(J.T, J, precision=_PREC)
-        Jtr = jnp.matmul(J.T, r, precision=_PREC)
-        with jax.default_matmul_precision("highest"):
-            delta = jnp.linalg.solve(
-                JtJ + 1e-6 * jnp.eye(6, dtype=JtJ.dtype), Jtr
-            )
-        cand = pose - delta
-        # accept only if cost decreases (guards divergent steps)
-        better = jnp.sum(res_flat(cand) ** 2) < jnp.sum(r**2)
-        return jnp.where(better, cand, pose), None
+        pose, _ = jax.lax.scan(gn_step, pose, None, length=n_iters)
+        return pose
 
-    pose, _ = jax.lax.scan(gn_step, pose, None, length=cfg.refine_iters)
+    pose = gn_polish(pose, inliers.astype(jnp.float32), cfg.refine_iters)
+
+    if cfg.tight_refine_px > 0:
+        # second stage: reselect inliers at a TIGHT threshold and polish on
+        # those alone — the loose-threshold tail (matches 2-7 px off) pulls
+        # the rotation at the sub-degree level; the tight set is the
+        # high-precision core. Falls back to the loose set when the tight
+        # one is too small to constrain the pose.
+        r_t = _reproj_residual(pose, pts3d, uv, K)
+        err2_t = jnp.sum(r_t * r_t, axis=-1)
+        tight = (err2_t < cfg.tight_refine_px**2) & valid
+        enough = jnp.sum(tight) >= 2 * sample
+        w2 = jnp.where(enough, tight, inliers).astype(jnp.float32)
+        pose = gn_polish(pose, w2, cfg.refine_iters)
 
     # final inlier set with the polished pose
     r = _reproj_residual(pose, pts3d, uv, K)

@@ -29,6 +29,7 @@ def map_training_batches(
     augment_brightness: float = 0.0,
     homography_prob: float = 0.0,
     photometric: str | None = None,
+    valid_quads: np.ndarray | None = None,
 ) -> Iterator[step_lib.Batch]:
     """Infinite generator of training batches for one object.
 
@@ -36,7 +37,14 @@ def map_training_batches(
     (reference "homo warp adaptation"); the sampled H is folded into that
     sample's K (K' = H @ K) so the on-device GT projection stays exact.
     photometric: 'dark' | 'mobile' photometric chain on the query crop.
+    valid_quads: optional [F, 4, 2] per-frame quad (crop px) of the region
+    backed by real source pixels (data.images.valid_quad_from_affine) —
+    jittered crops past the frame edge contain black warp-fill. When given,
+    each batch carries the matching coarse-cell `img_mask` (homography
+    warps are applied to the quad too) so attention/matching/supervision
+    all exclude the dead cells.
     """
+    from ..data import images as img_ops
     from . import augment as aug
 
     pho = aug.PhotometricAug(photometric) if photometric else None
@@ -47,6 +55,9 @@ def map_training_batches(
         else np.arange(len(frames))
     )
     import jax.numpy as jnp
+
+    stride = cfg.matcher.backbone.coarse_stride
+    crop_hw = frames.shape[1:3]
 
     # the padded cloud is identical every step: put it on device ONCE.
     # yielding numpy here made every step re-upload ~90 MB of tiled
@@ -59,6 +70,8 @@ def map_training_batches(
         sel = rng.choice(ids, batch_size, replace=len(ids) < batch_size)
         imgs = frames[sel][..., None].astype(np.float32)
         K_batch = Ks[sel].astype(np.float32).copy()
+        quads = valid_quads[sel].astype(np.float64).copy() \
+            if valid_quads is not None else None
         if homography_prob > 0 or pho is not None:
             H_img, W_img = imgs.shape[1:3]
             for b in range(batch_size):
@@ -67,6 +80,11 @@ def map_training_batches(
                     Hmat = aug.sample_homography_sap(rng, H_img, W_img)
                     im = aug.warp_image(im, Hmat)
                     K_batch[b] = (Hmat @ K_batch[b]).astype(np.float32)
+                    if quads is not None:
+                        qh = np.concatenate(
+                            [quads[b], np.ones((4, 1))], axis=1
+                        ) @ Hmat.T
+                        quads[b] = qh[:, :2] / qh[:, 2:3]
                 if pho is not None:
                     im = pho(im, rng)
                 imgs[b, ..., 0] = im
@@ -76,6 +94,12 @@ def map_training_batches(
                 size=(batch_size, 1, 1, 1),
             ).astype(np.float32)
             imgs = np.clip(imgs * gains, 0, 1)
+        img_mask = None
+        if quads is not None:
+            img_mask = np.stack([
+                img_ops.cell_mask_from_quad(q, crop_hw, stride)
+                for q in quads
+            ])
         yield step_lib.Batch(
             query_image=imgs,
             kpts3d=kB,
@@ -84,6 +108,7 @@ def map_training_batches(
             point_mask=maskB,
             pose_gt=poses[sel].astype(np.float32),
             K_crop=K_batch,
+            img_mask=img_mask,
         )
 
 

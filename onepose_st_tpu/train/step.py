@@ -36,6 +36,10 @@ class Batch(NamedTuple):
     point_mask: jax.Array    # [B, L] bool
     pose_gt: jax.Array       # [B, 6]
     K_crop: jax.Array        # [B, 3, 3]
+    # visibility of coarse cells (True = real source pixels; black
+    # warp-fill cells are excluded from attention/matching/supervision).
+    # None = everything valid (non-jittered crops).
+    img_mask: jax.Array | None = None   # [B, Hc*Wc] bool
 
 
 def make_optimizer(cfg: TrainConfig, world_size: int, steps_per_epoch: int):
@@ -110,6 +114,7 @@ def train_step(
         (H, W),
         mcfg.backbone.coarse_stride,
         batch.point_mask,
+        img_mask=batch.img_mask,
     )
 
     def loss_fn(params):
@@ -121,6 +126,7 @@ def train_step(
             batch.desc3d_coarse,
             batch.point_mask,
             train=True,
+            img_mask=batch.img_mask,
             mutable=["batch_stats"],
             method=OnePoseMatcher.coarse,
         )

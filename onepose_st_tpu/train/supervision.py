@@ -32,8 +32,15 @@ def project_gt(
     image_hw: tuple[int, int],
     coarse_stride: int,
     point_mask: jax.Array | None = None,
+    img_mask: jax.Array | None = None,   # [B, Hc*Wc] bool (True = real px)
 ) -> Supervision:
-    """Project the cloud with the GT pose; derive coarse-cell assignment."""
+    """Project the cloud with the GT pose; derive coarse-cell assignment.
+
+    `img_mask` gates GT matches to cells backed by real source pixels:
+    jittered training crops contain black warp-fill past the frame edge,
+    and a 3D point projecting there must NOT be supervised as a positive —
+    that teaches the matcher to hallucinate matches on dead pixels (the
+    round-3 truncated-frame 3-4 deg rotation floor)."""
     uv, depth = jax.vmap(lambda p, po, k: camera.project(p, po, k, eps=1e-6))(
         kpts3d, pose_gt, K_crop
     )
@@ -48,6 +55,8 @@ def project_gt(
     if point_mask is not None:
         inb = inb & point_mask
     gt_j = jnp.clip(y_cell, 0, Hc - 1) * Wc + jnp.clip(x_cell, 0, Wc - 1)
+    if img_mask is not None:
+        inb = inb & jnp.take_along_axis(img_mask, gt_j, axis=1)
     return Supervision(gt_j=gt_j, gt_valid=inb, uv_gt=uv)
 
 

@@ -3,7 +3,7 @@
 # (round-3 VERDICT weak #6 / next-round #9).
 set -u
 cd /root/repo
-JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+BENCH_CPU_PROXY=1 \
   timeout 3000 python -u bench.py scaling > /tmp/scaling_rows.jsonl 2>logs/r4_scaling_proxy.log
 python - <<'PYEOF'
 import json

@@ -165,3 +165,108 @@ def test_onepose_matcher_fused_equals_dense(rng):
         if v
     }
     assert fs == ds
+
+
+def test_onepose_matcher_img_mask(rng):
+    """Visibility-masked matching: masked cells never produce matches, the
+    fused and dense paths agree under the mask, and a fully-True mask
+    reproduces the unmasked output."""
+    cfg = small_matcher_cfg()
+    model = OnePoseMatcher(cfg)
+    B, H, W, L = 1, 64, 64, cfg.n_points
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+    kpts = jnp.asarray(rng.normal(size=(B, L, 3)).astype(np.float32))
+    dc = jnp.asarray(rng.normal(size=(B, L, 32)).astype(np.float32))
+    df = jnp.asarray(rng.normal(size=(B, L, 16)).astype(np.float32))
+    mask = jnp.asarray(np.arange(L) < L - 8)[None]
+    variables = model.init(jax.random.key(0), img, kpts, dc, df, mask)
+
+    Hc = Wc = H // cfg.backbone.coarse_stride
+    S = Hc * Wc
+    # mask out the right half of the grid (a truncated-object framing)
+    col = np.arange(S) % Wc
+    img_mask = jnp.asarray((col < Wc // 2)[None])
+
+    dense = model.apply(
+        variables, img, kpts, dc, df, mask, dense_conf=True, img_mask=img_mask
+    )
+    fsd = model.apply(variables, img, kpts, dc, df, mask, img_mask=img_mask)
+    for out in (dense, fsd):
+        m = out["matches"]
+        js = np.asarray(m.j_ids[0])[np.asarray(m.valid[0])]
+        assert np.all(np.asarray(img_mask[0])[js]), "match in a masked cell"
+    ds = {
+        (int(i), int(j))
+        for i, j, v in zip(
+            dense["matches"].i_ids[0], dense["matches"].j_ids[0],
+            dense["matches"].valid[0],
+        )
+        if v
+    }
+    fs = {
+        (int(i), int(j))
+        for i, j, v in zip(
+            fsd["matches"].i_ids[0], fsd["matches"].j_ids[0],
+            fsd["matches"].valid[0],
+        )
+        if v
+    }
+    assert fs == ds
+    # all-True mask == no mask
+    ones = jnp.ones((B, S), bool)
+    base = model.apply(variables, img, kpts, dc, df, mask)
+    masked = model.apply(variables, img, kpts, dc, df, mask, img_mask=ones)
+    np.testing.assert_array_equal(
+        np.asarray(base["matches"].j_ids), np.asarray(masked["matches"].j_ids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base["matches"].valid), np.asarray(masked["matches"].valid)
+    )
+
+
+def test_valid_cell_mask_geometry():
+    """Crop fully inside the frame -> all cells valid; crop hanging past the
+    left frame edge -> exactly the warp-fill cells invalid."""
+    from onepose_st_tpu.data import images as img_ops
+
+    frame = np.zeros((128, 128), np.float32)
+    # box fully inside
+    _, A3 = img_ops.crop_image(frame, np.array([16.0, 16.0, 112.0, 112.0]), (64, 64))
+    m = img_ops.valid_cell_mask(A3, (128, 128), (64, 64), 8)
+    assert m.all()
+    # box hanging 48 px past the left edge: box [-48, 16, 48, 112] -> the
+    # left half of the crop is warp fill
+    _, A3 = img_ops.crop_image(frame, np.array([-48.0, 16.0, 48.0, 112.0]), (64, 64))
+    m = img_ops.valid_cell_mask(A3, (128, 128), (64, 64), 8).reshape(8, 8)
+    assert not m[:, :4].any()      # fill half
+    assert m[:, 4:].all() or m[:, 5:].all()  # real half (edge cell may clip)
+
+
+def test_supervision_img_mask_gates_gt(rng):
+    """GT projections landing in masked (warp-fill) cells must be invalid."""
+    from onepose_st_tpu.train import supervision
+
+    B, L, H, W, stride = 1, 16, 64, 64, 8
+    Wc = W // stride
+    S = (H // stride) * Wc
+    # identity-ish camera: points at z=1, uv = f*x + c
+    K = jnp.asarray(np.array(
+        [[[32.0, 0, 32.0], [0, 32.0, 32.0], [0, 0, 1]]], np.float32))
+    pts = rng.uniform(-0.9, 0.9, size=(B, L, 3)).astype(np.float32)
+    pts[..., 2] = 1.0
+    pose = jnp.zeros((B, 6), jnp.float32)
+    sup_full = supervision.project_gt(
+        jnp.asarray(pts), pose, K, (H, W), stride,
+        img_mask=jnp.ones((B, S), bool),
+    )
+    col = np.arange(S) % Wc
+    left_only = jnp.asarray((col < Wc // 2)[None])
+    sup_masked = supervision.project_gt(
+        jnp.asarray(pts), pose, K, (H, W), stride, img_mask=left_only,
+    )
+    gj = np.asarray(sup_full.gt_j[0])
+    in_left = (gj % Wc) < Wc // 2
+    np.testing.assert_array_equal(
+        np.asarray(sup_masked.gt_valid[0]),
+        np.asarray(sup_full.gt_valid[0]) & in_left,
+    )

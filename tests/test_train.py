@@ -402,3 +402,79 @@ def test_fit_logs_artifact(tmp_path, rng):
     assert any(k.startswith("ckpt/") for k in man["files"])
     assert man["files"]["best.json"]["kind"] == "file"
     assert reg.verify("train-run")
+
+
+@pytest.mark.slow
+def test_train_step_with_img_mask(rng):
+    """The train step accepts a visibility mask: runs, descends, and the
+    masked cells carry no GT supervision (gt_valid gated)."""
+    cfg = tiny_engine_cfg()
+    model = OnePoseMatcher(cfg.matcher)
+    batch_np = make_batch(rng, cfg, B=2)
+    H = W = 64
+    stride = cfg.matcher.backbone.coarse_stride
+    S = (H // stride) * (W // stride)
+    Wc = W // stride
+    col = np.arange(S) % Wc
+    img_mask = np.tile((col < Wc - 2)[None], (2, 1))   # right strip = fill
+    batch_np = batch_np._replace(img_mask=img_mask)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    tx = step.make_optimizer(cfg.train, world_size=1, steps_per_epoch=100)
+    state = step.init_state(jax.random.key(0), model, tx, batch)
+    jitted = jax.jit(step.train_step, static_argnames=("model", "tx", "cfg"))
+    losses_seen = []
+    for i in range(6):
+        state, scalars = jitted(
+            state, batch, jax.random.key(i), model=model, tx=tx, cfg=cfg
+        )
+        losses_seen.append(float(scalars["loss"]))
+    assert all(np.isfinite(losses_seen))
+    assert losses_seen[-1] < losses_seen[0]
+    # supervision gating matches the mask
+    sup = supervision.project_gt(
+        batch.kpts3d, batch.pose_gt, batch.K_crop, (H, W), stride,
+        batch.point_mask, img_mask=batch.img_mask,
+    )
+    gv = np.asarray(sup.gt_valid)
+    gj = np.asarray(sup.gt_j)
+    assert np.all(img_mask[np.arange(2)[:, None], gj][gv])
+
+
+def test_map_training_batches_valid_quads(rng):
+    """valid_quads -> batches carry the matching cell mask; homography-free
+    samples keep the affine-rect mask exactly."""
+    from onepose_st_tpu.data import images as img_ops
+    from onepose_st_tpu.sfm.map import SfMMap
+    from onepose_st_tpu.train import data as data_mod
+
+    cfg = tiny_engine_cfg()
+    F, H, W = 3, 64, 64
+    frames = rng.uniform(size=(F, H, W)).astype(np.float32)
+    poses = np.zeros((F, 6), np.float32)
+    Ks = np.tile(np.eye(3, dtype=np.float32)[None], (F, 1, 1))
+    n_map = 16
+    sfm_map = SfMMap(
+        keypoints3d=rng.normal(size=(n_map, 3)).astype(np.float32),
+        desc_coarse=rng.normal(size=(n_map, 16)).astype(np.float32),
+        desc_fine=rng.normal(size=(n_map, 8)).astype(np.float32),
+        scores=np.ones(n_map, np.float32),
+    )
+    # crop hanging half past the left edge of a 128-wide source frame
+    _, A3 = img_ops.crop_image(
+        np.zeros((128, 128), np.float32),
+        np.array([-64.0, 0.0, 64.0, 128.0]), (H, W),
+    )
+    quads = np.tile(
+        img_ops.valid_quad_from_affine(A3, (128, 128))[None], (F, 1, 1)
+    )
+    gen = data_mod.map_training_batches(
+        sfm_map, frames, poses, Ks, cfg, np.random.default_rng(0),
+        batch_size=2, valid_quads=quads,
+    )
+    b = next(gen)
+    assert b.img_mask is not None and b.img_mask.shape == (2, 64)
+    expect = img_ops.cell_mask_from_quad(
+        quads[0], (H, W), cfg.matcher.backbone.coarse_stride
+    )
+    np.testing.assert_array_equal(np.asarray(b.img_mask[0]), expect)
+    assert not expect.reshape(8, 8)[:, :3].any()
