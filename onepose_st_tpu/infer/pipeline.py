@@ -79,11 +79,22 @@ def make_fwd_pnp(matcher_model, cfg: EngineConfig):
                 out["i_ids"], j2[None], (Hc, Wc),
                 method=OnePoseMatcher.fine,
             )
-            mk2d_rc = fine2["mkpts_query_f"][0]
-            v2 = valid[0] & inb
+            # Per-point agreement gate: re-center ONLY where the original
+            # fine estimate and the reprojection roughly agree (both near
+            # the truth -> the re-centered window certainly contains it and
+            # removes the window-edge expectation bias). Where they
+            # disagree the pose error dominates: a window centered at the
+            # reprojection would not contain the true correspondence and
+            # its expectation collapses onto the reprojection itself —
+            # manufacturing self-confirming inliers (measured: proj2D@5px
+            # 1.0 -> 0.375 with ungated re-centering, logs/r4_recenter1).
+            agree = jnp.linalg.norm(uv_proj - mk2d, axis=-1) <= stride / 2.0
+            mk2d_rc = jnp.where(
+                (agree & inb)[:, None], fine2["mkpts_query_f"][0], mk2d
+            )
             res2 = ransac_pnp(
                 jax.random.fold_in(rng, it + 1), mk3d, mk2d_rc, K_crop,
-                v2, pnp_cfg,
+                valid[0], pnp_cfg,
             )
             take = res2.n_inliers >= res.n_inliers
             res = jtu.tree_map(lambda a, b: jnp.where(take, a, b), res2, res)

@@ -180,3 +180,44 @@ def test_pnp_solvers_agree_low_outliers(rng):
         T[:3, 3] = np.asarray(t)
         r_err, t_err = metrics.query_pose_error(T, pose_gt)
         assert bool(res.success) and r_err < 0.2 and t_err < 0.2, solver
+
+
+def test_pnp_tight_refine_beats_loose_on_mixed_noise(rng):
+    """tight_refine_px: a precise core (0.3 px noise) + a sloppy tail (4 px
+    noise, still inside the 7 px loose gate) — the second tight-GN stage
+    must fit the core and land closer to GT than the single loose polish."""
+    K = np.array([[600.0, 0, 256], [0, 600.0, 256], [0, 0, 1]], np.float32)
+    R = Rotation.from_rotvec(rng.normal(size=3) * 0.4).as_matrix().astype(np.float32)
+    t = np.array([0.05, -0.03, 0.6], np.float32)
+    N = 256
+    pts = rng.uniform(-0.15, 0.15, size=(N, 3)).astype(np.float32)
+    uvz = (pts @ R.T + t) @ K.T
+    uv = uvz[:, :2] / uvz[:, 2:]
+    n_core = N // 2
+    uv[:n_core] += rng.normal(size=(n_core, 2)) * 0.3
+    # biased sloppy tail (all pushed one way — the worst case for a loose
+    # equally-weighted polish)
+    uv[n_core:] += rng.normal(size=(N - n_core, 2)) * 2.0 + np.array([3.0, 0.0])
+    pose_gt = np.eye(4, dtype=np.float32)
+    pose_gt[:3, :3] = R
+    pose_gt[:3, 3] = t
+
+    from onepose_st_tpu.core import so3
+
+    def solve(cfg):
+        res = ransac_pnp(
+            jax.random.key(0), jnp.asarray(pts), jnp.asarray(uv.astype(np.float32)),
+            jnp.asarray(K), jnp.ones(N, bool), cfg,
+        )
+        Rm, tm = so3.pose6_to_Rt(res.pose6)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(Rm)
+        T[:3, 3] = np.asarray(tm)
+        return metrics.query_pose_error(T, pose_gt)
+
+    r_loose, t_loose = solve(PnPConfig(n_hypotheses=256))
+    r_tight, t_tight = solve(PnPConfig(n_hypotheses=256, tight_refine_px=1.5))
+    # the tight core fit must beat the loose equally-weighted polish
+    assert r_tight < r_loose and t_tight < t_loose, (
+        (r_tight, t_tight), (r_loose, t_loose))
+    assert r_tight < 0.15 and t_tight < 0.15
