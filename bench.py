@@ -322,6 +322,121 @@ def bench_train(batch: int = 8, image: int = 256, iters: int = 20) -> dict:
     }
 
 
+def bench_train_profile(batch: int = 8, image: int = 256, iters: int = 20) -> dict:
+    """Segment attribution for the train step (VERDICT r3 weak #4: MFU 0.30
+    — name where the other 70% goes before writing kernels).
+
+    Times three jitted programs:
+      full        — the real train step (fwd+bwd+optimizer);
+      tokens      — fwd+bwd of backbone + encodings + coarse transformer
+                    only (model.coarse_tokens seam);
+      dsmax_focal — fwd+bwd of dual-softmax + focal loss alone, on fixed
+                    token-shaped inputs (grad wrt tokens) — the segment a
+                    fused Pallas custom-VJP kernel would replace.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_st_tpu import config as cfg_lib
+    from onepose_st_tpu.models import OnePoseMatcher
+    from onepose_st_tpu.models.matcher2d3d import OnePoseMatcher as OPM
+    from onepose_st_tpu.ops import matching as match_ops
+    from onepose_st_tpu.train import losses, step as step_lib
+
+    cfg = cfg_lib.adapt_dtypes(cfg_lib.EngineConfig())
+    model = OnePoseMatcher(cfg.matcher)
+    rng = np.random.default_rng(0)
+    B, H, W, L = batch, image, image, cfg.matcher.n_points
+    S = (H // cfg.matcher.backbone.coarse_stride) ** 2
+    kpts = rng.uniform(-0.1, 0.1, size=(B, L, 3)).astype(np.float32)
+    kpts[..., 2] += 1.5
+    K = np.tile(
+        np.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1]], np.float32),
+        (B, 1, 1),
+    )
+    batch_dev = jax.device_put(step_lib.Batch(
+        query_image=jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32)),
+        kpts3d=jnp.asarray(kpts),
+        desc3d_coarse=jnp.asarray(rng.normal(size=(B, L, 256)).astype(np.float32)),
+        desc3d_fine=jnp.asarray(rng.normal(size=(B, L, 128)).astype(np.float32)),
+        point_mask=jnp.ones((B, L), bool),
+        pose_gt=jnp.zeros((B, 6), jnp.float32),
+        K_crop=jnp.asarray(K),
+    ))
+    tx = step_lib.make_optimizer(cfg.train, world_size=1, steps_per_epoch=1000)
+    state = step_lib.init_state(jax.random.key(0), model, tx, batch_dev)
+
+    def timed(fn, *args, **kw):
+        out = fn(*args, **kw)
+        jax.tree.map(
+            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+            out,
+        )
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args, **kw)
+        jax.tree.map(
+            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+            out,
+        )
+        return (time.perf_counter() - t0) / iters
+
+    # 1. full step
+    jitted = jax.jit(step_lib.train_step, static_argnames=("model", "tx", "cfg"))
+    t_full = timed(
+        jitted, state, batch_dev, jax.random.key(1), model=model, tx=tx, cfg=cfg
+    )
+
+    # 2. tokens-only fwd+bwd
+    def tokens_loss(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch_dev.query_image, batch_dev.kpts3d, batch_dev.desc3d_coarse,
+            batch_dev.point_mask,
+            train=True, mutable=["batch_stats"],
+            method=OPM.coarse_tokens,
+        )
+        q, p, ff, _hw = out
+        return (
+            jnp.sum(q.astype(jnp.float32)) + jnp.sum(p.astype(jnp.float32))
+            + jnp.sum(ff.astype(jnp.float32))
+        )
+
+    g_tokens = jax.jit(jax.grad(tokens_loss))
+    t_tokens = timed(g_tokens, state.params)
+
+    # 3. dual-softmax + focal alone (token-shaped inputs, grad wrt tokens)
+    dt_tok = jnp.dtype(cfg.matcher.coarse.dtype)
+    p_tok = jnp.asarray(rng.normal(size=(B, L, 256)), dt_tok)
+    q_tok = jnp.asarray(rng.normal(size=(B, S, 256)), dt_tok)
+    gt_j = jnp.asarray(rng.integers(0, S, size=(B, L)), jnp.int32)
+    gt_valid = jnp.asarray(rng.uniform(size=(B, L)) < 0.3)
+    pmask = jnp.ones((B, L), bool)
+
+    def ds_focal(p, q):
+        conf = match_ops.dual_softmax(
+            p, q, temperature=cfg.matcher.coarse_matching.temperature,
+            mask0=pmask,
+        )
+        return losses.coarse_focal_loss(
+            conf, gt_j, gt_valid, pmask, cfg.train.loss
+        )
+
+    g_ds = jax.jit(jax.grad(ds_focal, argnums=(0, 1)))
+    t_ds = timed(g_ds, p_tok, q_tok)
+
+    return {
+        "metric": f"train_profile_b{batch}_{image}px",
+        "value": round(t_full * 1e3, 2),
+        "unit": "ms/step",
+        "full_ms": round(t_full * 1e3, 2),
+        "tokens_fwd_bwd_ms": round(t_tokens * 1e3, 2),
+        "dsmax_focal_fwd_bwd_ms": round(t_ds * 1e3, 2),
+        "rest_ms": round((t_full - t_tokens - t_ds) * 1e3, 2),
+        "vs_baseline": 0.0,
+    }
+
+
 def bench_depth_ba(n_tracks: int = 15000, track_len: int = 16, iters: int = 10) -> dict:
     """Depth-only LM BA at the reference's 15k-point map scale
     (the DeepLM workload, SURVEY.md §2.2)."""
@@ -759,6 +874,8 @@ def main():
         result = bench_matcher(batch=16)
     elif which == "train":
         result = bench_train()
+    elif which == "train_profile":
+        result = bench_train_profile()
     elif which == "depth_ba":
         result = bench_depth_ba()
     elif which == "pipeline":

@@ -57,22 +57,19 @@ class OnePoseMatcher(nn.Module):
             dtype=jnp.dtype(c.fine.dtype),
         )
 
-    def coarse(
+    def coarse_tokens(
         self,
         query_image: jax.Array,        # [B, H, W, 1] grayscale
         kpts3d: jax.Array,             # [B, L, 3] padded cloud
         desc3d_coarse: jax.Array,      # [B, L, Cc]
-        kpts3d_mask: jax.Array | None = None,   # [B, L] bool (True = real)
+        kpts3d_mask: jax.Array | None = None,
         train: bool = False,
-        dense_conf: bool = False,
-        img_mask: jax.Array | None = None,      # [B, Hc*Wc] bool (True = real
-                                                # source pixels behind the cell)
-    ) -> dict[str, Any]:
-        """`img_mask` marks coarse-grid cells backed by real source pixels:
-        detector crops of a truncated object contain black warp-fill past
-        the frame edge, and those dead cells must neither vote in attention
-        nor produce matches (wild_diag r3f/r3h: black-fill tokens explain
-        the truncated-frame failures)."""
+        img_mask: jax.Array | None = None,
+    ):
+        """Backbone + encodings + coarse transformer, up to (but excluding)
+        matching. Returns (q_tokens [B,S,C], p_tokens [B,L,C], feat_f,
+        (Hc, Wc)) — the seam used by the training profiler and fused-loss
+        paths to isolate the matching/loss segment."""
         c = self.cfg
         B, H, W, _ = query_image.shape
         Hc, Wc = H // c.backbone.coarse_stride, W // c.backbone.coarse_stride
@@ -91,6 +88,28 @@ class OnePoseMatcher(nn.Module):
 
         q_tokens, p_tokens = self.loftr_coarse(
             q_tokens, p_tokens, mask0=img_mask, mask1=kpts3d_mask
+        )
+        return q_tokens, p_tokens, feat_f, (Hc, Wc)
+
+    def coarse(
+        self,
+        query_image: jax.Array,        # [B, H, W, 1] grayscale
+        kpts3d: jax.Array,             # [B, L, 3] padded cloud
+        desc3d_coarse: jax.Array,      # [B, L, Cc]
+        kpts3d_mask: jax.Array | None = None,   # [B, L] bool (True = real)
+        train: bool = False,
+        dense_conf: bool = False,
+        img_mask: jax.Array | None = None,      # [B, Hc*Wc] bool (True = real
+                                                # source pixels behind the cell)
+    ) -> dict[str, Any]:
+        """`img_mask` marks coarse-grid cells backed by real source pixels:
+        detector crops of a truncated object contain black warp-fill past
+        the frame edge, and those dead cells must neither vote in attention
+        nor produce matches (wild_diag r3f/r3h: black-fill tokens explain
+        the truncated-frame failures)."""
+        c = self.cfg
+        q_tokens, p_tokens, feat_f, (Hc, Wc) = self.coarse_tokens(
+            query_image, kpts3d, desc3d_coarse, kpts3d_mask, train, img_mask
         )
         border = match_ops.grid_border_mask((Hc, Wc), c.coarse_matching.border_rm)
         if train or dense_conf:
