@@ -79,6 +79,10 @@ def main():
     ap.add_argument("--pnp_tight", type=float, default=0.0,
                     help="tight second GN stage threshold px "
                          "(PnPConfig.tight_refine_px)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="use the one-frame-lag pipelined sequence driver "
+                         "(PoseEstimator.run_sequence): host prep + "
+                         "dispatch of frame t+1 overlap device exec of t")
     ap.add_argument("--wander", type=float, default=0.12)
     ap.add_argument("--wild_radius", type=float, default=None,
                     help="wild-sequence camera orbit radius (default: the "
@@ -440,12 +444,18 @@ def main():
     print(f"corrupted frames (forced track loss): {sorted(corrupt_ids)}")
 
     n_detect = n_track = n_redetect = 0
-    results = []
     was_lost = True
     t0 = time.time()
+    if args.pipelined:
+        results = estimator.run_sequence(frames_eval, wscene.Ks)
+        assert len(results) == args.frames
+    else:
+        results = [
+            estimator.estimate(frames_eval[f], wscene.Ks[f], frame_idx=f)
+            for f in range(args.frames)
+        ]
     for f in range(args.frames):
-        r = estimator.estimate(frames_eval[f], wscene.Ks[f], frame_idx=f)
-        results.append(r)
+        r = results[f]
         if r.tracked:
             n_track += 1
         else:

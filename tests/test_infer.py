@@ -244,3 +244,48 @@ def test_shift_box_into_frame():
     out = shift_box_into_frame(b, hw)
     assert out[2] - out[0] == 700.0 and out[3] - out[1] == 700.0
     np.testing.assert_allclose((out[0] + out[2]) / 2, 256.0)
+
+
+@pytest.mark.slow
+def test_run_sequence_pipelined_matches_sequential(rng):
+    """The one-frame-lag pipelined driver returns one result per frame and
+    agrees with the sequential loop when the tracking state never diverges
+    (here: every frame fails under random weights, so both paths take the
+    detector branch with identical inputs)."""
+    from onepose_st_tpu.infer.pipeline import PoseEstimator
+    from onepose_st_tpu.sfm.map import SfMMap
+
+    mcfg = small_matcher_cfg()
+    cfg = cfg_lib.EngineConfig(matcher=mcfg)
+    model = OnePoseMatcher(mcfg)
+    n_map = 32
+    ext = np.array([0.2, 0.2, 0.2], np.float32)
+    corners = np.asarray(camera.box3d_corners(jnp.asarray(ext)))
+    sfm_map = SfMMap(
+        keypoints3d=rng.uniform(-0.1, 0.1, size=(n_map, 3)).astype(np.float32),
+        desc_coarse=rng.normal(size=(n_map, 32)).astype(np.float32),
+        desc_fine=rng.normal(size=(n_map, 16)).astype(np.float32),
+        scores=np.ones(n_map, np.float32),
+        box_corners=corners,
+    )
+    detector, imgs = make_detector(rng)
+    L = mcfg.n_points
+    variables = model.init(
+        jax.random.key(0), jnp.asarray(imgs[:1, ..., None]),
+        jnp.zeros((1, L, 3)), jnp.zeros((1, L, 32)), jnp.zeros((1, L, 16)),
+    )
+    T = 6
+    frames = np.stack([_texture(rng) for _ in range(T)])
+    Ks = np.tile(np.array(
+        [[80.0, 0, 32.0], [0, 80.0, 32.0], [0, 0, 1]], np.float32)[None],
+        (T, 1, 1))
+
+    est_a = PoseEstimator(cfg, model, variables, sfm_map, detector)
+    seq = [est_a.estimate(frames[f], Ks[f], frame_idx=f) for f in range(T)]
+    est_b = PoseEstimator(cfg, model, variables, sfm_map, detector)
+    pipe = est_b.run_sequence(frames, Ks)
+    assert len(pipe) == T
+    for a, b in zip(seq, pipe):
+        assert a.success == b.success and a.tracked == b.tracked
+        if a.success:
+            np.testing.assert_allclose(a.pose6, b.pose6, atol=1e-5)
