@@ -100,6 +100,11 @@ def main():
                          "additionally run inference with the INFERRED K "
                          "(reference inference.py:121-123 infer_K) and "
                          "report the AP delta vs ground-truth K")
+    ap.add_argument("--refine_focal", action="store_true",
+                    help="with --calib_ckpt: self-calibrate the focal from "
+                         "the object's 2D-3D matches (joint pose+focal GN, "
+                         "PoseEstimator.self_calibrate) before the "
+                         "inferred-K pass")
     ap.add_argument("--refine", default=None, choices=[None, "correlation"],
                     help="temporal second pass over the wild sequence")
     ap.add_argument("--save_run", default=None,
@@ -573,6 +578,14 @@ def main():
         print(f"inferred K: f={K_inf[0, 0]:.1f}/{K_inf[1, 1]:.1f} px "
               f"(GT {f_gt:.1f}; err "
               f"{100 * abs(K_inf[1, 1] - f_gt) / f_gt:.1f}%)")
+        if args.refine_focal:
+            K_inf, cal_info = estimator.self_calibrate(
+                frames_eval, K_inf.astype(np.float32)
+            )
+            print(f"self-calibrated focal: scale {cal_info['scale']:.4f} "
+                  f"over {cal_info['n_frames_used']} frames -> "
+                  f"f={K_inf[0, 0]:.1f}/{K_inf[1, 1]:.1f} px (GT {f_gt:.1f}; "
+                  f"err {100 * abs(K_inf[1, 1] - f_gt) / f_gt:.1f}%)")
         estimator.reset()
         results_inf = []
         for f in range(args.frames):

@@ -280,6 +280,76 @@ class PoseEstimator:
             crop, K_crop, A3, tracked, frame_idx, frame_hw
         ))
 
+    def self_calibrate(
+        self,
+        frames: np.ndarray,
+        K0: np.ndarray,
+        sample_stride: int = 8,
+        min_inliers: int = 12,
+    ) -> tuple[np.ndarray, dict]:
+        """Refine an approximate focal (e.g. the calib-net's 8-12%-error K)
+        from the object itself: on sampled frames, run the matcher and a
+        joint (pose, focal-scale) RANSAC+GN (solvers.ransac_pnp_focal), then
+        take the inlier-weighted median scale over frames. Returns
+        (K_refined, info). The estimated scale transfers from crop to full
+        image exactly because the crop affine is a uniform scale+shift.
+
+        This is the engine-side answer to the reference's infer_K trust
+        (inference.py:121-123): a deep-calibration K seeds the pipeline and
+        the 2D-3D matches finish the job.
+        """
+        from ..solvers import ransac_pnp_focal
+
+        if getattr(self, "_fwd_pnp_focal", None) is None:
+            model, pnp_cfg = self.model, self.cfg.pnp
+
+            def fwd(variables, img, kpts, dc, df, mask, K_crop, rng,
+                    img_mask=None):
+                out = model.apply(
+                    variables, img, kpts, dc, df, mask, img_mask=img_mask
+                )
+                res, s = ransac_pnp_focal(
+                    rng, out["mkpts3d"][0], out["mkpts_query_f"][0], K_crop,
+                    out["matches"].valid[0], pnp_cfg,
+                )
+                return res.n_inliers, res.success, s
+
+            self._fwd_pnp_focal = jax.jit(fwd)
+
+        kpts, dc, df, mask = self._cloud
+        scales, weights = [], []
+        stride = self.cfg.matcher.backbone.coarse_stride
+        for f in range(0, len(frames), max(1, sample_stride)):
+            det = self.detector.detect(frames[f], rng_seed=f)
+            if not det.success:
+                continue
+            crop, K_crop, A3 = self.detector.crop(frames[f], det, K0)
+            img_mask = jnp.asarray(img_ops.valid_cell_mask(
+                A3, frames[f].shape[:2], crop.shape[:2], stride
+            )[None])
+            n_inl, ok, s = jax.device_get(self._fwd_pnp_focal(
+                self.variables, jnp.asarray(crop[None, ..., None]),
+                kpts, dc, df, mask, jnp.asarray(K_crop), jax.random.key(f),
+                img_mask=img_mask,
+            ))
+            if bool(ok) and int(n_inl) >= min_inliers:
+                scales.append(float(s))
+                weights.append(float(n_inl))
+        if not scales:
+            return np.asarray(K0), {"n_frames_used": 0, "scale": 1.0}
+        order = np.argsort(scales)
+        cw = np.cumsum(np.asarray(weights)[order])
+        s_med = float(np.asarray(scales)[order][
+            np.searchsorted(cw, cw[-1] / 2.0)
+        ])
+        K_ref = np.asarray(K0, np.float64).copy()
+        K_ref[0, 0] *= s_med
+        K_ref[1, 1] *= s_med
+        return K_ref.astype(np.float32), {
+            "n_frames_used": len(scales), "scale": s_med,
+            "scales": scales, "weights": weights,
+        }
+
     def _prep(self, frame: np.ndarray, K: np.ndarray, frame_idx: int):
         """Host half of `estimate`: box decision + crop. Returns None when
         detection failed outright."""

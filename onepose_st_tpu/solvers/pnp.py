@@ -223,3 +223,93 @@ def ransac_pnp(
         n_inliers=n_inl,
         success=n_inl >= sample,
     )
+
+
+def _scale_K_focal(K: jax.Array, s: jax.Array) -> jax.Array:
+    """Scale fx, fy by `s`, keep the principal point (a wrong focal from
+    single-image calibration is a pure fx/fy scale error once the crop
+    affine is folded in: K_crop = A @ K_full and the full-image principal
+    point is the known frame center)."""
+    # elementwise gain: s at the fx/fy slots, 1 everywhere else
+    gain = jnp.ones((3, 3), K.dtype) + (s - 1.0) * jnp.array(
+        [[1.0, 0, 0], [0, 1.0, 0], [0, 0, 0]], K.dtype
+    )
+    return K * gain
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gn_rounds", "gn_iters"))
+def ransac_pnp_focal(
+    rng: jax.Array,
+    pts3d: jax.Array,     # [N, 3]
+    uv: jax.Array,        # [N, 2] pixels
+    K0: jax.Array,        # [3, 3] initial intrinsics (e.g. calib-net K)
+    valid: jax.Array,     # [N] bool
+    cfg: PnPConfig,
+    gn_rounds: int = 3,
+    gn_iters: int = 8,
+) -> tuple[PnPResult, jax.Array]:
+    """RANSAC PnP with focal self-calibration.
+
+    The deep single-image calibration head lands at 8-12% focal error —
+    unusable for the cm-degree AND metric (a 12% focal error is ~6 cm of
+    depth error at object distance, EXPERIMENTS.md r3). But the matcher
+    hands us hundreds of 2D-3D correspondences per frame, which make the
+    focal observable: after a loose-threshold RANSAC with K0, a joint
+    Gauss-Newton over (pose6, log focal-scale) on the inliers refines both,
+    re-selecting inliers between rounds. Returns (result, focal_scale) —
+    K_refined = K0 with fx, fy scaled.
+
+    Replaces nothing in the reference (it trusts infer_K,
+    inference.py:121-123); this is the engine-side fix for VERDICT r3 #7.
+    """
+    from .. import config as cfg_lib
+
+    # stage 1: pose under K0 at a loosened gate (a 12% focal error pushes
+    # edge-of-object correspondences tens of px out at 512 crops)
+    cfg_loose = cfg_lib.replace(
+        cfg, reproj_threshold_px=3.0 * cfg.reproj_threshold_px,
+        tight_refine_px=0.0, recenter_iters=0,
+    )
+    res = ransac_pnp(rng, pts3d, uv, K0, valid, cfg_loose)
+
+    params = jnp.concatenate([res.pose6, jnp.zeros((1,), res.pose6.dtype)])
+    inliers = res.inliers
+
+    def residual(params, w):
+        pose, log_s = params[:6], params[6]
+        Ks = _scale_K_focal(K0, jnp.exp(log_s))
+        return (_reproj_residual(pose, pts3d, uv, Ks) * w[:, None]).reshape(-1)
+
+    for _ in range(gn_rounds):
+        w = inliers.astype(jnp.float32)
+
+        def gn_step(p, _):
+            r = residual(p, w)
+            J = jax.jacfwd(lambda q: residual(q, w))(p)    # [2N, 7]
+            JtJ = jnp.matmul(J.T, J, precision=_PREC)
+            Jtr = jnp.matmul(J.T, r, precision=_PREC)
+            with jax.default_matmul_precision("highest"):
+                delta = jnp.linalg.solve(
+                    JtJ + 1e-6 * jnp.eye(7, dtype=JtJ.dtype), Jtr
+                )
+            cand = p - delta
+            better = jnp.sum(residual(cand, w) ** 2) < jnp.sum(r**2)
+            return jnp.where(better, cand, p), None
+
+        params, _ = jax.lax.scan(gn_step, params, None, length=gn_iters)
+        Ks = _scale_K_focal(K0, jnp.exp(params[6]))
+        r = _reproj_residual(params[:6], pts3d, uv, Ks)
+        err2 = jnp.sum(r * r, axis=-1)
+        inliers = (err2 < cfg.reproj_threshold_px**2) & valid
+
+    s = jnp.exp(params[6])
+    n_inl = jnp.sum(inliers).astype(jnp.int32)
+    sample = max(cfg.sample_size, 6)
+    return (
+        PnPResult(
+            pose6=params[:6], inliers=inliers, n_inliers=n_inl,
+            # focal adds a 7th dof: demand a little more support
+            success=n_inl >= sample + 2,
+        ),
+        s,
+    )

@@ -221,3 +221,34 @@ def test_pnp_tight_refine_beats_loose_on_mixed_noise(rng):
     assert r_tight < r_loose and t_tight < t_loose, (
         (r_tight, t_tight), (r_loose, t_loose))
     assert r_tight < 0.15 and t_tight < 0.15
+
+
+def test_pnp_focal_self_calibration(rng):
+    """ransac_pnp_focal: with the initial focal 12% off (the calib-net
+    deployment error), the joint (pose, focal) refinement must recover the
+    true focal to <1% and the pose to sub-degree accuracy."""
+    from onepose_st_tpu.solvers import ransac_pnp_focal
+
+    pts, uv, K, pose_gt, valid = synth_pnp_problem(
+        rng, N=256, outlier_frac=0.2, noise_px=0.5
+    )
+    K_wrong = K.copy()
+    K_wrong[0, 0] *= 0.88
+    K_wrong[1, 1] *= 0.88
+    cfg = PnPConfig(n_hypotheses=256)
+    res, s = ransac_pnp_focal(
+        jax.random.key(0), jnp.asarray(pts), jnp.asarray(uv),
+        jnp.asarray(K_wrong), jnp.asarray(valid), cfg,
+    )
+    from onepose_st_tpu.core import so3
+
+    assert bool(res.success)
+    # recovered focal: K_wrong * s ~ K  ->  s ~ 1/0.88 = 1.136
+    f_rec = float(s) * K_wrong[0, 0]
+    assert abs(f_rec - K[0, 0]) / K[0, 0] < 0.01, (f_rec, K[0, 0])
+    R, t = so3.pose6_to_Rt(res.pose6)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = np.asarray(R)
+    T[:3, 3] = np.asarray(t)
+    r_err, t_err = metrics.query_pose_error(T, pose_gt)
+    assert r_err < 0.5 and t_err < 1.0, (r_err, t_err)
