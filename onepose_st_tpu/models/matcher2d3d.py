@@ -104,12 +104,18 @@ class OnePoseMatcher(nn.Module):
     ) -> dict[str, Any]:
         """`img_mask` marks coarse-grid cells backed by real source pixels:
         detector crops of a truncated object contain black warp-fill past
-        the frame edge, and those dead cells must neither vote in attention
-        nor produce matches (wild_diag r3f/r3h: black-fill tokens explain
-        the truncated-frame failures)."""
+        the frame edge, and those dead cells must not produce matches.
+
+        The mask acts as a MATCH FILTER + supervision gate only — it is
+        deliberately NOT applied inside attention or the dual-softmax
+        normalization: most inference crops are fully valid, so a model
+        trained with masked attention on jittered crops would see a
+        token-statistics distribution it never meets at test time
+        (measured: full masking cost 0.06 AP on the wild loop vs
+        filter-only, logs/ffe_r4a.log vs r3h)."""
         c = self.cfg
         q_tokens, p_tokens, feat_f, (Hc, Wc) = self.coarse_tokens(
-            query_image, kpts3d, desc3d_coarse, kpts3d_mask, train, img_mask
+            query_image, kpts3d, desc3d_coarse, kpts3d_mask, train
         )
         border = match_ops.grid_border_mask((Hc, Wc), c.coarse_matching.border_rm)
         if train or dense_conf:
@@ -119,7 +125,6 @@ class OnePoseMatcher(nn.Module):
                 q_tokens,
                 temperature=c.coarse_matching.temperature,
                 mask0=kpts3d_mask,
-                mask1=img_mask,
             )
             matches = match_ops.extract_matches(
                 conf,

@@ -218,10 +218,13 @@ def extract_matches_fused(
     Semantics match ops.matching.extract_matches: mutual-NN (row best equals
     column best), confidence threshold, optional column border mask, a
     per-sample [B, S] `col_mask` (visibility of crop cells), ranked top-K
-    with validity mask.
+    with validity mask. `col_mask` is applied as a POST-FILTER (a match
+    whose best cell is masked is dropped, not redirected) — identical to
+    the dense path, and it keeps the softmax normalization mask-free so
+    masked and unmasked crops share one activation distribution.
     """
     row_best, row_j, col_best = fused_match_scores(
-        feat_p, feat_q, temperature, point_mask, col_mask
+        feat_p, feat_q, temperature, point_mask
     )
     col_best_at_j = jnp.take_along_axis(col_best, row_j, axis=1)
     mutual = row_best >= col_best_at_j * (1.0 - 1e-6)
