@@ -284,8 +284,9 @@ class PoseEstimator:
         self,
         frames: np.ndarray,
         K0: np.ndarray,
-        sample_stride: int = 8,
+        sample_stride: int = 4,
         min_inliers: int = 12,
+        rounds: int = 2,
     ) -> tuple[np.ndarray, dict]:
         """Refine an approximate focal (e.g. the calib-net's 8-12%-error K)
         from the object itself: on sampled frames, run the matcher and a
@@ -317,38 +318,50 @@ class PoseEstimator:
             self._fwd_pnp_focal = jax.jit(fwd)
 
         kpts, dc, df, mask = self._cloud
-        scales, weights = [], []
         stride = self.cfg.matcher.backbone.coarse_stride
-        for f in range(0, len(frames), max(1, sample_stride)):
-            det = self.detector.detect(frames[f], rng_seed=f)
-            if not det.success:
-                continue
-            crop, K_crop, A3 = self.detector.crop(frames[f], det, K0)
-            img_mask = jnp.asarray(img_ops.valid_cell_mask(
-                A3, frames[f].shape[:2], crop.shape[:2], stride
-            )[None])
-            n_inl, ok, s = jax.device_get(self._fwd_pnp_focal(
-                self.variables, jnp.asarray(crop[None, ..., None]),
-                kpts, dc, df, mask, jnp.asarray(K_crop), jax.random.key(f),
-                img_mask=img_mask,
-            ))
-            if bool(ok) and int(n_inl) >= min_inliers:
-                scales.append(float(s))
-                weights.append(float(n_inl))
-        if not scales:
-            return np.asarray(K0), {"n_frames_used": 0, "scale": 1.0}
-        order = np.argsort(scales)
-        cw = np.cumsum(np.asarray(weights)[order])
-        s_med = float(np.asarray(scales)[order][
-            np.searchsorted(cw, cw[-1] / 2.0)
-        ])
-        K_ref = np.asarray(K0, np.float64).copy()
-        K_ref[0, 0] *= s_med
-        K_ref[1, 1] *= s_med
-        return K_ref.astype(np.float32), {
-            "n_frames_used": len(scales), "scale": s_med,
-            "scales": scales, "weights": weights,
-        }
+        K_cur = np.asarray(K0, np.float64).copy()
+        s_total = 1.0
+        info: dict = {"n_frames_used": 0, "scale": 1.0}
+        # iterate: a better K gives better crops/poses, which sharpens the
+        # per-frame scale estimates; round 1 takes out the bulk (12% -> ~4%),
+        # round 2 polishes within the now-small linearization error
+        for rnd in range(max(rounds, 1)):
+            scales, weights = [], []
+            for f in range(0, len(frames), max(1, sample_stride)):
+                det = self.detector.detect(frames[f], rng_seed=f)
+                if not det.success:
+                    continue
+                crop, K_crop, A3 = self.detector.crop(
+                    frames[f], det, K_cur.astype(np.float32)
+                )
+                img_mask = jnp.asarray(img_ops.valid_cell_mask(
+                    A3, frames[f].shape[:2], crop.shape[:2], stride
+                )[None])
+                n_inl, ok, s = jax.device_get(self._fwd_pnp_focal(
+                    self.variables, jnp.asarray(crop[None, ..., None]),
+                    kpts, dc, df, mask, jnp.asarray(K_crop),
+                    jax.random.key(1000 * rnd + f),
+                    img_mask=img_mask,
+                ))
+                if bool(ok) and int(n_inl) >= min_inliers:
+                    scales.append(float(s))
+                    weights.append(float(n_inl))
+            if not scales:
+                break
+            order = np.argsort(scales)
+            cw = np.cumsum(np.asarray(weights)[order])
+            s_med = float(np.asarray(scales)[order][
+                np.searchsorted(cw, cw[-1] / 2.0)
+            ])
+            K_cur[0, 0] *= s_med
+            K_cur[1, 1] *= s_med
+            s_total *= s_med
+            info = {
+                "n_frames_used": len(scales), "scale": s_total,
+                "last_round_scale": s_med, "rounds_run": rnd + 1,
+                "scales": scales, "weights": weights,
+            }
+        return K_cur.astype(np.float32), info
 
     def _prep(self, frame: np.ndarray, K: np.ndarray, frame_idx: int):
         """Host half of `estimate`: box decision + crop. Returns None when
