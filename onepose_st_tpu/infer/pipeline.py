@@ -218,11 +218,26 @@ class PoseEstimator:
         img_mask = None
         if frame_hw is not None:
             # visibility of crop cells: crops hanging past the frame edge
-            # carry black warp-fill; dead cells are excluded from matching
-            img_mask = jnp.asarray(img_ops.valid_cell_mask(
-                A3, frame_hw, crop.shape[:2],
-                cfg.matcher.backbone.coarse_stride,
-            )[None])
+            # carry black warp-fill; dead cells are excluded from matching.
+            # Fast path: a crop box fully inside the frame is fully valid —
+            # reuse one cached device-resident all-true mask instead of
+            # paying a per-frame host mask build + upload (the common case:
+            # tracked frames with the object inside the frame).
+            stride = cfg.matcher.backbone.coarse_stride
+            quad = img_ops.valid_quad_from_affine(A3, frame_hw)
+            Hc_px, Wc_px = crop.shape[:2]
+            if (quad[:, 0].min() <= 0 and quad[:, 1].min() <= 0
+                    and quad[:, 0].max() >= Wc_px and quad[:, 1].max() >= Hc_px):
+                S = (Hc_px // stride) * (Wc_px // stride)
+                cache = getattr(self, "_ones_mask", None)
+                if cache is None or cache.shape[1] != S:
+                    cache = jnp.ones((1, S), bool)
+                    self._ones_mask = cache
+                img_mask = cache
+            else:
+                img_mask = jnp.asarray(img_ops.cell_mask_from_quad(
+                    quad, crop.shape[:2], stride
+                )[None])
         out_dev = self._fwd_pnp(
             self.variables, jnp.asarray(crop[None, ..., None]), kpts, dc, df, mask,
             jnp.asarray(K_crop), jax.random.key(frame_idx),
