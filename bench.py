@@ -632,7 +632,11 @@ def bench_closed_loop_real(n_frames: int = 40, image: int = 512) -> dict:
     est.estimate(frames[0], scene.Ks[0], frame_idx=0)
     cold_ms = (time.perf_counter() - t0) * 1e3
 
-    # tracked-path frames/s (the dominant path: 70/80 frames in the e2e log)
+    # tracked-path frames/s (the dominant path: 70/80 frames in the e2e
+    # log). Frames arrive as uint8, as a real camera delivers them — the
+    # crop then uploads at 1/4 the f32 bytes and normalizes on device.
+    frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+    est.estimate(frames[0], scene.Ks[0], frame_idx=0)  # warm the u8 program
     t0 = time.perf_counter()
     for f in range(n_frames):
         est._prev_pose = scene.poses[f].copy()

@@ -79,6 +79,8 @@ class ObjectDetector:
 
     def detect(self, query: np.ndarray, rng_seed: int = 0) -> Detection:
         """Match query against every DB view; affine-warp the best box."""
+        if np.issubdtype(query.dtype, np.integer):
+            query = query.astype(np.float32) / 255.0  # uint8 camera path
         out_dev = self._apply(
             self.variables, self._img0_dev, jnp.asarray(query[..., None])
         )
@@ -118,6 +120,7 @@ class ObjectDetector:
     def previous_pose_detect(
         self, pose6: np.ndarray, K: np.ndarray, box_corners3d: np.ndarray,
         frame_hw: tuple[int, int] | None = None,
+        pad: float = 1.1,
     ) -> Detection:
         """Project the object's 3D box with the previous pose -> crop box.
 
@@ -134,7 +137,7 @@ class ObjectDetector:
         uv = p_img[:, :2] / (depth[:, None] + 1e-4)
         lo, hi = uv.min(axis=0), uv.max(axis=0)
         cx, cy = (lo + hi) * 0.5
-        half = float(max(hi[0] - lo[0], hi[1] - lo[1])) * 0.5 * 1.1
+        half = float(max(hi[0] - lo[0], hi[1] - lo[1])) * 0.5 * pad
         sq = np.array([cx - half, cy - half, cx + half, cy + half], np.float32)
         if frame_hw is not None:
             sq = shift_box_into_frame(sq, frame_hw)

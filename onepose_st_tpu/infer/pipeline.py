@@ -50,6 +50,12 @@ def make_fwd_pnp(matcher_model, cfg: EngineConfig):
 
     def fwd_pnp(variables, img, kpts, dc, df, mask, K_crop, rng,
                 img_mask=None):
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            # uint8 camera path: crops upload at 1/4 the bytes of f32 and
+            # normalize on device (the tunnel upload is a per-frame cost)
+            img = img.astype(jnp.float32) / 255.0
+        if rng.dtype == jnp.int32:  # seed scalar -> key on device (saves a
+            rng = jax.random.key(rng[0])  # host-side key-creation op/frame
         out = matcher_model.apply(
             variables, img, kpts, dc, df, mask, img_mask=img_mask
         )
@@ -138,6 +144,7 @@ class PoseEstimator:
         self.box_corners3d = sfm_map.box_corners
         self._prev_pose: np.ndarray | None = None
         self._lost = True
+        self._stale = 0   # frames since the last successful pose
 
         # fused matcher forward + RANSAC PnP: per-frame latency pays a
         # single dispatch (the tunnel's dispatch floor is ~2.5 ms,
@@ -150,6 +157,7 @@ class PoseEstimator:
     def reset(self):
         self._prev_pose = None
         self._lost = True
+        self._stale = 0
 
     def estimate(
         self, frame: np.ndarray, K: np.ndarray, frame_idx: int = 0,
@@ -189,18 +197,50 @@ class PoseEstimator:
         if det is None or not det.success:
             det = self.detector.detect(frame, rng_seed=frame_idx)
             tracked = False
-        if not det.success:
-            return FrameResult(
+        r = None
+        if det.success:
+            crop, K_crop, A3 = self.detector.crop(frame, det, K)
+            r = self._match_and_pnp(
+                crop, K_crop, A3, tracked, frame_idx, frame_hw=frame.shape[:2]
+            )
+        # Lost-frame second attempt: a transient loss (blur, corruption,
+        # momentary occlusion) leaves the last good pose nearly valid, but
+        # the cold detector can fail on hard viewpoints exactly where the
+        # track was lost — so a failed re-detect used to strand the loop
+        # for many frames (r3/r4 wild logs: "0 re-detections after loss").
+        # Retry with the STALE previous-pose box, padded wider the longer
+        # the track has been lost. Costs one extra device call on failed
+        # frames only. (Reference analogue: its re-detect loop
+        # inference.py:150-173 + the CoTracker temporal rescue :256-336.)
+        if (
+            (r is None or not r.success)
+            and not tracked
+            and self._prev_pose is not None
+            and self.box_corners3d is not None
+        ):
+            pad = 1.1 * (1.12 ** min(self._stale, 6))
+            det2 = self.detector.previous_pose_detect(
+                self._prev_pose, K, self.box_corners3d,
+                frame_hw=frame.shape[:2], pad=pad,
+            )
+            if det2.success:
+                crop, K_crop, A3 = self.detector.crop(frame, det2, K)
+                r2 = self._match_and_pnp(
+                    crop, K_crop, A3, False, frame_idx,
+                    frame_hw=frame.shape[:2],
+                )
+                if r2.success or r is None:
+                    r = r2
+        if r is None:
+            # no detection at all: _drain never ran, count the miss here
+            self._stale += 1
+            r = FrameResult(
                 pose6=np.zeros(6, np.float32), T44=np.eye(4, dtype=np.float32),
                 n_inliers=0, n_matches=0, tracked=False, success=False,
                 mkpts3d=np.zeros((0, 3), np.float32),
                 mkpts2d_full=np.zeros((0, 2), np.float32),
             )
-
-        crop, K_crop, A3 = self.detector.crop(frame, det, K)
-        return self._match_and_pnp(
-            crop, K_crop, A3, tracked, frame_idx, frame_hw=frame.shape[:2]
-        )
+        return r
 
     def _dispatch(
         self,
@@ -235,13 +275,19 @@ class PoseEstimator:
                     self._ones_mask = cache
                 img_mask = cache
             else:
-                img_mask = jnp.asarray(img_ops.cell_mask_from_quad(
+                img_mask = img_ops.cell_mask_from_quad(
                     quad, crop.shape[:2], stride
-                )[None])
+                )[None]
+        # ONE batched host->device put for the frame's inputs: separate
+        # jnp.asarray calls each pay the tunnel round trip, and the seed
+        # rides as a scalar (the key is built inside the program)
+        crop_dev, K_dev, seed_dev, img_mask = jax.device_put((
+            crop[None, ..., None], np.asarray(K_crop),
+            np.asarray([frame_idx], np.int32), img_mask,
+        ))
         out_dev = self._fwd_pnp(
-            self.variables, jnp.asarray(crop[None, ..., None]), kpts, dc, df, mask,
-            jnp.asarray(K_crop), jax.random.key(frame_idx),
-            img_mask=img_mask,
+            self.variables, crop_dev, kpts, dc, df, mask,
+            K_dev, seed_dev, img_mask=img_mask,
         )
         return (out_dev, A3, tracked)
 
@@ -262,8 +308,10 @@ class PoseEstimator:
         if success:
             self._prev_pose = pose6
             self._lost = False
+            self._stale = 0
         else:
             self._lost = True  # re-detect next frame (reference :150-163)
+            self._stale += 1
 
         T44 = np.eye(4, dtype=np.float32)
         T44[:3, :3] = Rotation.from_rotvec(
