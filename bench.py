@@ -636,7 +636,13 @@ def bench_closed_loop_real(n_frames: int = 40, image: int = 512) -> dict:
     # log). Frames arrive as uint8, as a real camera delivers them — the
     # crop then uploads at 1/4 the f32 bytes and normalizes on device.
     frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
-    est.estimate(frames[0], scene.Ks[0], frame_idx=0)  # warm the u8 program
+    # warm pass: every jit signature the loop can hit (uint8 crop x
+    # {cached all-true, per-frame} visibility mask) compiles here, not in
+    # the timed pass
+    for f in range(n_frames):
+        est._prev_pose = scene.poses[f].copy()
+        est._lost = False
+        est.estimate(frames[f], scene.Ks[f], frame_idx=f)
     t0 = time.perf_counter()
     for f in range(n_frames):
         est._prev_pose = scene.poses[f].copy()

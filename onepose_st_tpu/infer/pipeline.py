@@ -347,9 +347,9 @@ class PoseEstimator:
         self,
         frames: np.ndarray,
         K0: np.ndarray,
-        sample_stride: int = 4,
+        sample_stride: int = 8,
         min_inliers: int = 12,
-        rounds: int = 2,
+        rounds: int = 1,
     ) -> tuple[np.ndarray, dict]:
         """Refine an approximate focal (e.g. the calib-net's 8-12%-error K)
         from the object itself: on sampled frames, run the matcher and a
@@ -385,9 +385,11 @@ class PoseEstimator:
         K_cur = np.asarray(K0, np.float64).copy()
         s_total = 1.0
         info: dict = {"n_frames_used": 0, "scale": 1.0}
-        # iterate: a better K gives better crops/poses, which sharpens the
-        # per-frame scale estimates; round 1 takes out the bulk (12% -> ~4%),
-        # round 2 polishes within the now-small linearization error
+        # one round by default: round 1 takes the calib-net error 12% -> ~4%
+        # (logs/ffe_r4a_calib.log); the per-frame estimator carries a small
+        # consistent positive bias on this scene (f/tz near-degeneracy vs
+        # the map's 3D error), so a second round COMPOUNDS it instead of
+        # polishing (measured 3.8% -> 7.1%, logs/ffe_r4a_calib2.log)
         for rnd in range(max(rounds, 1)):
             scales, weights = [], []
             for f in range(0, len(frames), max(1, sample_stride)):
