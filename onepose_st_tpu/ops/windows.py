@@ -5,31 +5,23 @@ Replaces the reference's F.unfold-then-index pattern
 materializing all Hc*Wc windows and selecting K of them, we gather only the
 K needed windows straight from the (zero-padded) fine feature map with one
 batched gather — O(K·W²) memory instead of O(Hc·Wc·W²).
+
+The backward is a custom VJP: autodiff's transpose of the vmapped
+dynamic-slice is a vmapped scatter-add that XLA serializes into a rolled
+while loop (measured 34 ms of a 102 ms train step — the single biggest op).
+The custom backward scatters the window grads into per-cell rows (one
+contiguous-row scatter) and folds them onto the feature map with W²
+static strided adds, which XLA fuses into the elementwise stream.
 """
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
 
 
-def gather_windows(
-    feat_f: jax.Array,
-    j_ids: jax.Array,
-    coarse_hw: tuple[int, int],
-    window: int,
-) -> jax.Array:
-    """Gather W×W fine-feature windows centered on coarse grid cells.
-
-    Args:
-      feat_f: [B, Hf, Wf, C] fine feature map (NHWC).
-      j_ids: [B, K] flat coarse-grid indices (j = y*Wc + x).
-      coarse_hw: (Hc, Wc) coarse grid shape; stride ratio = Hf // Hc.
-      window: W (odd).
-    Returns: [B, K, W*W, C].
-
-    Window placement matches F.unfold(kernel=W, stride=r, padding=W//2) at
-    window index j: rows y*r - W//2 + [0..W), same for cols.
-    """
+def _gather_impl(feat_f, j_ids, coarse_hw, window):
     B, Hf, Wf, C = feat_f.shape
     Hc, Wc = coarse_hw
     K = j_ids.shape[1]
@@ -50,3 +42,76 @@ def gather_windows(
         jax.vmap(slice_one, in_axes=(None, 0, 0))  # over K windows
     )(padded, yc * r, xc * r)                      # [B, K, W, W, C]
     return win.reshape(B, K, window * window, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _gather_windows(feat_f, j_ids, coarse_hw, window, fshape, fdtype):
+    return _gather_impl(feat_f, j_ids, coarse_hw, window)
+
+
+def _gather_fwd(feat_f, j_ids, coarse_hw, window, fshape, fdtype):
+    out = _gather_impl(feat_f, j_ids, coarse_hw, window)
+    return out, j_ids
+
+
+def _gather_bwd(coarse_hw, window, fshape, fdtype, j_ids, g):
+    B, Hf, Wf, C = fshape
+    Hc, Wc = coarse_hw
+    r = Hf // Hc
+    pad = window // 2
+    K = j_ids.shape[1]
+    S = Hc * Wc
+    g = g.astype(jnp.float32)
+    # 1. per-cell accumulation: scatter the K window grads into S rows of
+    # W*W*C contiguous floats (duplicate j_ids sum; one scatter-add with
+    # full-row updates — lane-aligned, no serialization)
+    rows = jnp.zeros((B, S, window * window * C), jnp.float32)
+    rows = jax.vmap(lambda rw, j, gw: rw.at[j].add(gw))(
+        rows, j_ids, g.reshape(B, K, -1)
+    )
+    rows = rows.reshape(B, Hc, Wc, window, window, C)
+    # 2. fold: window (wy, wx) taps land at padded position (y*r+wy, x*r+wx)
+    # — for each of the W² taps that is a REGULAR stride-r placement, i.e.
+    # an interior-dilated pad plus a static offset add. W² static strided
+    # adds fuse; no dynamic scatter remains.
+    Hp, Wp = Hf + 2 * pad, Wf + 2 * pad
+    dpad = jnp.zeros((B, Hp, Wp, C), jnp.float32)
+    hs = (Hc - 1) * r + 1
+    ws = (Wc - 1) * r + 1
+    for wy in range(window):
+        for wx in range(window):
+            block = rows[:, :, :, wy, wx, :]          # [B, Hc, Wc, C]
+            spaced = jax.lax.pad(
+                block, jnp.array(0.0, jnp.float32),
+                ((0, 0, 0), (0, 0, r - 1), (0, 0, r - 1), (0, 0, 0)),
+            )                                          # [B, hs, ws, C]
+            dpad = dpad.at[:, wy:wy + hs, wx:wx + ws, :].add(spaced)
+    dfeat = dpad[:, pad:pad + Hf, pad:pad + Wf, :]
+    return (dfeat.astype(jnp.dtype(fdtype)), None)
+
+
+_gather_windows.defvjp(_gather_fwd, _gather_bwd)
+
+
+def gather_windows(
+    feat_f: jax.Array,
+    j_ids: jax.Array,
+    coarse_hw: tuple[int, int],
+    window: int,
+) -> jax.Array:
+    """Gather W×W fine-feature windows centered on coarse grid cells.
+
+    Args:
+      feat_f: [B, Hf, Wf, C] fine feature map (NHWC).
+      j_ids: [B, K] flat coarse-grid indices (j = y*Wc + x).
+      coarse_hw: (Hc, Wc) coarse grid shape; stride ratio = Hf // Hc.
+      window: W (odd).
+    Returns: [B, K, W*W, C].
+
+    Window placement matches F.unfold(kernel=W, stride=r, padding=W//2) at
+    window index j: rows y*r - W//2 + [0..W), same for cols.
+    """
+    return _gather_windows(
+        feat_f, j_ids, coarse_hw, window,
+        tuple(feat_f.shape), jnp.dtype(feat_f.dtype).name,
+    )

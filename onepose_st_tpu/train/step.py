@@ -42,13 +42,56 @@ class Batch(NamedTuple):
     img_mask: jax.Array | None = None   # [B, Hc*Wc] bool
 
 
+def _accumulate_branchless(tx, k: int):
+    """Gradient accumulation without optax.MultiSteps.
+
+    MultiSteps' lax.cond compiles (on TPU) into a rolled while loop that
+    copies every optimizer-state leaf through ~270 per-leaf async copies —
+    measured 34 ms of a 102 ms train step (trace, round 4). This wrapper is
+    branchless: the inner update is COMPUTED every micro-step (AdamW math
+    is ~1 ms) and the state/updates are selected with jnp.where, which XLA
+    fuses into the elementwise stream. Semantics match MultiSteps: the
+    MEAN of k consecutive gradients feeds one inner update; the inner step
+    count (bias correction, LR schedule) advances once per k micro-steps.
+    """
+
+    def init(params):
+        return {
+            "inner": tx.init(params),
+            "acc": jax.tree.map(jnp.zeros_like, params),
+            "i": jnp.zeros((), jnp.int32),
+        }
+
+    def update(grads, state, params=None):
+        i = state["i"]
+        apply_now = (i % k) == (k - 1)
+        acc = jax.tree.map(lambda a, g: a + g / k, state["acc"], grads)
+        updates, inner_new = tx.update(acc, state["inner"], params)
+        gate = apply_now.astype(jnp.float32)
+        updates = jax.tree.map(
+            lambda u: u * gate.astype(u.dtype), updates
+        )
+        inner = jax.tree.map(
+            lambda n, o: jnp.where(apply_now, n, o) if hasattr(n, "dtype")
+            else n,
+            inner_new, state["inner"],
+        )
+        acc = jax.tree.map(
+            lambda a: a * (1.0 - gate).astype(a.dtype), acc
+        )
+        return updates, {"inner": inner, "acc": acc, "i": i + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: TrainConfig, world_size: int, steps_per_epoch: int):
     """AdamW + MultiStepLR(gamma @ milestones) + global-norm clip.
 
     With accumulate_steps > 1, gradients of k consecutive micro-steps are
-    averaged into one optimizer update (optax.MultiSteps — the reference's
-    accumulate_grad_batches, train.yaml:33); `steps_per_epoch` stays in
-    micro-steps, so LR milestones land on the same data boundaries.
+    averaged into one optimizer update (the reference's
+    accumulate_grad_batches, train.yaml:33) via a branchless accumulator
+    (see _accumulate_branchless); `steps_per_epoch` stays in micro-steps,
+    so LR milestones land on the same data boundaries.
     """
     lr = cfg.true_lr(world_size)
     k = max(cfg.accumulate_steps, 1)
@@ -62,7 +105,7 @@ def make_optimizer(cfg: TrainConfig, world_size: int, steps_per_epoch: int):
         optax.adamw(schedule, weight_decay=cfg.weight_decay),
     )
     if k > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=k)
+        tx = _accumulate_branchless(tx, k)
     return tx
 
 

@@ -190,3 +190,42 @@ def test_gather_windows_center_alignment(rng):
     )
     center = out[0, 0, W * W // 2]
     np.testing.assert_allclose(center, feat[0, 1 * 2, 2 * 2])
+
+
+def test_gather_windows_custom_vjp_matches_autodiff(rng):
+    """The hand-written backward (row scatter + W^2 strided folds) must
+    equal autodiff of the plain gather implementation."""
+    import jax
+
+    from onepose_st_tpu.ops import windows as window_ops
+
+    B, Hf, Wf, C = 2, 16, 16, 6
+    Hc = Wc = 4
+    W = 5
+    K = 7
+    feat = jnp.asarray(rng.normal(size=(B, Hf, Wf, C)).astype(np.float32))
+    j_ids = jnp.asarray(
+        rng.integers(0, Hc * Wc, size=(B, K)).astype(np.int32)
+    )
+    # duplicates must accumulate
+    j_ids = j_ids.at[0, 1].set(j_ids[0, 0])
+    cot = jnp.asarray(
+        rng.normal(size=(B, K, W * W, C)).astype(np.float32)
+    )
+
+    def loss_custom(f):
+        return jnp.sum(window_ops.gather_windows(f, j_ids, (Hc, Wc), W) * cot)
+
+    def loss_ref(f):
+        return jnp.sum(
+            window_ops._gather_impl(f, j_ids, (Hc, Wc), W) * cot
+        )
+
+    np.testing.assert_allclose(
+        float(loss_custom(feat)), float(loss_ref(feat)), rtol=1e-5
+    )
+    g_c = jax.grad(loss_custom)(feat)
+    g_r = jax.grad(loss_ref)(feat)
+    np.testing.assert_allclose(
+        np.asarray(g_c), np.asarray(g_r), rtol=1e-4, atol=1e-5
+    )
