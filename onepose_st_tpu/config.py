@@ -134,6 +134,8 @@ class LossConfig:
     pos_weight: float = 1.0
     neg_weight: float = 1.0
     fine_correct_thr: float = 1.0
+    fused_coarse: bool = True     # fused Pallas dual-softmax+focal custom-VJP
+                                  # (gamma=2 only); False = dense XLA path
 
 
 @dataclass(frozen=True)

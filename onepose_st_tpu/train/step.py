@@ -160,19 +160,59 @@ def train_step(
         img_mask=batch.img_mask,
     )
 
+    fused = cfg.train.loss.fused_coarse and cfg.train.loss.focal_gamma == 2.0
+
     def loss_fn(params):
         variables = {"params": params, "batch_stats": state.batch_stats}
-        out, mutated = model.apply(
-            variables,
-            batch.query_image,
-            batch.kpts3d,
-            batch.desc3d_coarse,
-            batch.point_mask,
-            train=True,
-            img_mask=batch.img_mask,
-            mutable=["batch_stats"],
-            method=OnePoseMatcher.coarse,
-        )
+        if fused:
+            # fused path: tokens once; match extraction through the
+            # inference Pallas kernel on stopped gradients (slot indices
+            # are integers — no gradient flows); the dense [B, L, S] conf
+            # matrix never exists, the focal loss runs through the fused
+            # custom-VJP kernel (ops/pallas_kernels/focal_dsmax.py)
+            from ..ops import matching as match_ops
+            from ..ops import pallas_kernels as fused_ops
+
+            (q_tok, p_tok, feat_f, chw), mutated = model.apply(
+                variables,
+                batch.query_image,
+                batch.kpts3d,
+                batch.desc3d_coarse,
+                batch.point_mask,
+                train=True,
+                img_mask=batch.img_mask,
+                mutable=["batch_stats"],
+                method=OnePoseMatcher.coarse_tokens,
+            )
+            border = match_ops.grid_border_mask(
+                chw, mcfg.coarse_matching.border_rm
+            )
+            matches = fused_ops.extract_matches_fused(
+                jax.lax.stop_gradient(p_tok),
+                jax.lax.stop_gradient(q_tok),
+                temperature=mcfg.coarse_matching.temperature,
+                threshold=mcfg.coarse_matching.threshold,
+                max_matches=mcfg.coarse_matching.max_matches,
+                point_mask=batch.point_mask,
+                border_mask_cols=border,
+                col_mask=batch.img_mask,
+            )
+            out = {
+                "matches": matches, "feat_f": feat_f, "coarse_hw": chw,
+                "conf_matrix": None, "_tokens": (p_tok, q_tok),
+            }
+        else:
+            out, mutated = model.apply(
+                variables,
+                batch.query_image,
+                batch.kpts3d,
+                batch.desc3d_coarse,
+                batch.point_mask,
+                train=True,
+                img_mask=batch.img_mask,
+                mutable=["batch_stats"],
+                method=OnePoseMatcher.coarse,
+            )
         m = out["matches"]
         # slot layout: model's own top-K predictions ++ sampled GT pads
         # (reference coarse_matching.py:177-217 semantics, static shapes)
@@ -202,10 +242,28 @@ def train_step(
             mcfg.backbone.fine_stride,
             mcfg.fine.window_size,
         )
-        loss, scalars = losses.total_loss(
-            out["conf_matrix"], sup.gt_j, sup.gt_valid, batch.point_mask,
-            fine_out["expec_f"], expec_f_gt, slot_valid, cfg.train.loss,
-        )
+        if fused:
+            from ..ops.pallas_kernels.focal_dsmax import (
+                fused_coarse_focal_loss,
+            )
+
+            p_tok, q_tok = out["_tokens"]
+            lcfg = cfg.train.loss
+            lc = fused_coarse_focal_loss(
+                p_tok, q_tok, sup.gt_j, sup.gt_valid, batch.point_mask,
+                mcfg.coarse_matching.temperature,
+                lcfg.focal_alpha, lcfg.pos_weight, lcfg.neg_weight,
+            )
+            lf = losses.fine_l2_std_loss(
+                fine_out["expec_f"], expec_f_gt, slot_valid, lcfg
+            )
+            loss = lcfg.coarse_weight * lc + lcfg.fine_weight * lf
+            scalars = {"loss": loss, "loss_coarse": lc, "loss_fine": lf}
+        else:
+            loss, scalars = losses.total_loss(
+                out["conf_matrix"], sup.gt_j, sup.gt_valid, batch.point_mask,
+                fine_out["expec_f"], expec_f_gt, slot_valid, cfg.train.loss,
+            )
         return loss, (scalars, mutated["batch_stats"])
 
     (loss, (scalars, new_stats)), grads = jax.value_and_grad(

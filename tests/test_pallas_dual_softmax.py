@@ -89,3 +89,49 @@ def test_extract_matches_equivalent(rng):
     }
     assert len(fused_set) > 0
     assert fused_set == dense_set
+
+
+def test_fused_focal_loss_matches_dense(rng):
+    """fused_coarse_focal_loss (Pallas custom-VJP) == dual_softmax +
+    coarse_focal_loss, value and gradients."""
+    import jax
+
+    from onepose_st_tpu.config import LossConfig
+    from onepose_st_tpu.ops import matching as match_ops
+    from onepose_st_tpu.ops.pallas_kernels.focal_dsmax import (
+        fused_coarse_focal_loss,
+    )
+    from onepose_st_tpu.train import losses
+
+    B, L, S, C = 2, 96, 64, 32
+    temperature = 0.08
+    cfg = LossConfig()
+    p = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, S, C)).astype(np.float32))
+    gt_j = jnp.asarray(rng.integers(0, S, size=(B, L)).astype(np.int32))
+    gt_valid = jnp.asarray(rng.uniform(size=(B, L)) < 0.4)
+    pm = jnp.asarray(np.arange(L)[None, :] < np.array([[L], [L - 10]]))
+
+    def dense(p, q):
+        conf = match_ops.dual_softmax(
+            p, q, temperature=temperature, mask0=pm
+        )
+        return losses.coarse_focal_loss(conf, gt_j, gt_valid, pm, cfg)
+
+    def fused(p, q):
+        return fused_coarse_focal_loss(
+            p, q, gt_j, gt_valid, pm, temperature,
+            cfg.focal_alpha, cfg.pos_weight, cfg.neg_weight,
+        )
+
+    ld = float(dense(p, q))
+    lf = float(fused(p, q))
+    np.testing.assert_allclose(lf, ld, rtol=2e-4)
+    gd_p, gd_q = jax.grad(dense, argnums=(0, 1))(p, q)
+    gf_p, gf_q = jax.grad(fused, argnums=(0, 1))(p, q)
+    np.testing.assert_allclose(
+        np.asarray(gf_p), np.asarray(gd_p), rtol=2e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gf_q), np.asarray(gd_q), rtol=2e-3, atol=1e-6
+    )
