@@ -131,9 +131,9 @@ def _fwd_kernel(fp_ref, fq_ref, mask_ref, gt_ref,
     cpos_ref[:] = jnp.sum(c * onehot, axis=1)[None, :]
 
 
-def _bwd_rc_kernel(fp_ref, fq_ref, mask_ref,
+def _bwd_rc_kernel(fp_ref, fq_ref, mask_ref, gt_ref, corr_ref, gneg_ref,
                    rowmax_ref, rowsum_ref, colmax_ref, colsum_ref,
-                   rneg_ref, cneg_ref,
+                   r_ref, c_ref,
                    *, inv_temp: float):
     i = pl.program_id(0)
     c, _A, _B = _conf_tile(
@@ -141,14 +141,20 @@ def _bwd_rc_kernel(fp_ref, fq_ref, mask_ref,
         rowmax_ref[:].T, rowsum_ref[:].T, colmax_ref[:], colsum_ref[:],
         inv_temp,
     )
-    gc = _dnegterm(c) * c
-    rneg_ref[:] = jnp.sum(gc, axis=1)[None, :]
+    gneg = gneg_ref[0, 0]
+    G = gneg * _dnegterm(c)
+    col = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    # pos-cell corrections folded in here — a host-side scatter over gt_j
+    # (segment_sum / one-hot) measured 3-4 ms per sample, this is free
+    G = G + jnp.where(col == gt_ref[:].T, corr_ref[:].T, 0.0)
+    gc = G * c
+    r_ref[:] = jnp.sum(gc, axis=1)[None, :]
 
     @pl.when(i == 0)
     def _init():
-        cneg_ref[:] = jnp.zeros_like(cneg_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
 
-    cneg_ref[:] = cneg_ref[:] + jnp.sum(gc, axis=0)[None, :]
+    c_ref[:] = c_ref[:] + jnp.sum(gc, axis=0)[None, :]
 
 
 def _bwd_grad_kernel(fp_ref, fq_ref, mask_ref, gt_ref, corr_ref,
@@ -245,29 +251,26 @@ def _bwd_single(p, q, pm, gt, rv, cpos, stats, gpos, gneg, inv_temp):
     row, col, ps, qs = _specs(L, S, C, TILE_L)
     rowi = pl.BlockSpec((1, TILE_L), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-    rneg, cneg = pl.pallas_call(
+    rvf = rv.astype(jnp.float32)
+    # pos-cell correction: at (i, gt_i) the field is gpos*pos' instead of
+    # gneg*neg'
+    corr = rvf * (gpos * _dposterm(cpos) - gneg * _dnegterm(cpos))  # [L]
+    gneg_arr = jnp.full((1, 1), gneg, jnp.float32)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    Rfull, Cfull = pl.pallas_call(
         functools.partial(_bwd_rc_kernel, inv_temp=inv_temp),
-        grid=(n,), in_specs=[ps, qs, row, row, row, col, col],
+        grid=(n,),
+        in_specs=[ps, qs, row, rowi, row, smem, row, row, col, col],
         out_specs=[row, col],
         out_shape=[
             jax.ShapeDtypeStruct((1, L), jnp.float32),
             jax.ShapeDtypeStruct((1, S), jnp.float32),
         ],
         interpret=_interpret(),
-    )(p, q, pm, rm, rs, cm, cs)
-
-    rvf = rv.astype(jnp.float32)
-    # pos-cell correction: at (i, gt_i) the field is gpos*pos' instead of
-    # gneg*neg'
-    corr = rvf * (gpos * _dposterm(cpos) - gneg * _dnegterm(cpos))  # [L]
-    R = gneg * rneg[0] + corr * cpos                                # [L]
-    # scatter the column corrections with a one-hot matmul (a 7040x1024
-    # einsum beats XLA's serialized scalar scatter)
-    onehot = jax.nn.one_hot(gt[0], S, dtype=jnp.float32)            # [L, S]
-    C_corr = jnp.einsum("l,ls->s", corr * cpos, onehot)
-    C_full = gneg * cneg[0] + C_corr                                # [S]
-
-    gneg_arr = jnp.full((1, 1), gneg, jnp.float32)
+    )(p, q, pm, gt, corr[None], gneg_arr, rm, rs, cm, cs)
+    R = Rfull[0]
+    C_full = Cfull[0]
     dp, dq = pl.pallas_call(
         functools.partial(_bwd_grad_kernel, inv_temp=inv_temp),
         grid=(n,),
