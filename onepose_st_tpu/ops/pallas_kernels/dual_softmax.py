@@ -42,11 +42,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _sim_tile(fp, fq, mask_row, mask_col, inv_temp):
+def _sim_tile(fp, fq, mask_row, inv_temp):
     """[TL, C] x [S, C] -> masked sim [TL, S] in f32.
 
-    mask_row [TL, 1] masks padded/invalid 3D points; mask_col [1, S] masks
-    invalid image cells (black warp-fill) out of BOTH softmaxes.
+    mask_row [TL, 1] masks padded/invalid 3D points. Image cells are
+    deliberately NOT maskable here: the filter-only design (see
+    extract_matches_fused docstring) keeps the softmax normalization
+    mask-free so masked and unmasked crops share one activation
+    distribution; crop-visibility masking happens as a post-filter on the
+    [L]-sized outputs.
     """
     sim = jax.lax.dot_general(
         fp,
@@ -54,18 +58,16 @@ def _sim_tile(fp, fq, mask_row, mask_col, inv_temp):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * inv_temp
-    return jnp.where((mask_row > 0) & (mask_col > 0), sim, _NEG)
+    return jnp.where(mask_row > 0, sim, _NEG)
 
 
 def _stats_kernel(
-    fp_ref, fq_ref, mask_ref, maskq_ref,
+    fp_ref, fq_ref, mask_ref,
     rowmax_ref, rowsum_ref, colmax_ref, colsum_ref,
     *, inv_temp: float,
 ):
     i = pl.program_id(0)
-    sim = _sim_tile(
-        fp_ref[:], fq_ref[:], mask_ref[:].T, maskq_ref[:], inv_temp
-    )  # [TL, S]
+    sim = _sim_tile(fp_ref[:], fq_ref[:], mask_ref[:].T, inv_temp)  # [TL, S]
 
     # exact row stats (full S in VMEM)
     rmax = jnp.max(sim, axis=1)                                   # [TL]
@@ -89,15 +91,13 @@ def _stats_kernel(
 
 
 def _best_kernel(
-    fp_ref, fq_ref, mask_ref, maskq_ref,
+    fp_ref, fq_ref, mask_ref,
     rowmax_ref, rowsum_ref, colmax_ref, colsum_ref,
     rowbest_ref, rowj_ref, colbest_ref,
     *, inv_temp: float,
 ):
     i = pl.program_id(0)
-    sim = _sim_tile(
-        fp_ref[:], fq_ref[:], mask_ref[:].T, maskq_ref[:], inv_temp
-    )  # [TL, S]
+    sim = _sim_tile(fp_ref[:], fq_ref[:], mask_ref[:].T, inv_temp)  # [TL, S]
     expo = (
         2.0 * sim
         - rowmax_ref[:].T            # [TL, 1]
@@ -119,7 +119,7 @@ def _best_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("temperature",))
-def _fused_single(feat_p, feat_q, point_mask, img_mask, temperature: float):
+def _fused_single(feat_p, feat_q, point_mask, temperature: float):
     """Single-sample kernel launch. feat_p [L, C], feat_q [S, C]."""
     L, C = feat_p.shape
     S = feat_q.shape[0]
@@ -135,7 +135,6 @@ def _fused_single(feat_p, feat_q, point_mask, img_mask, temperature: float):
     fp = feat_p
     fq = feat_q.astype(feat_p.dtype)
     maskf = point_mask.astype(jnp.float32).reshape(1, L)
-    maskq = img_mask.astype(jnp.float32).reshape(1, S)
 
     row_spec = pl.BlockSpec((1, TILE_L), lambda i: (0, i), memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -143,7 +142,6 @@ def _fused_single(feat_p, feat_q, point_mask, img_mask, temperature: float):
         pl.BlockSpec((TILE_L, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((S, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         row_spec,
-        col_spec,
     ]
 
     rowmax, rowsum, colmax, colsum = pl.pallas_call(
@@ -158,7 +156,7 @@ def _fused_single(feat_p, feat_q, point_mask, img_mask, temperature: float):
             jax.ShapeDtypeStruct((1, S), jnp.float32),
         ],
         interpret=_interpret(),
-    )(fp, fq, maskf, maskq)
+    )(fp, fq, maskf)
 
     row_best, row_j, col_best = pl.pallas_call(
         functools.partial(_best_kernel, inv_temp=inv_temp),
@@ -171,7 +169,7 @@ def _fused_single(feat_p, feat_q, point_mask, img_mask, temperature: float):
             jax.ShapeDtypeStruct((1, S), jnp.float32),
         ],
         interpret=_interpret(),
-    )(fp, fq, maskf, maskq, rowmax, rowsum, colmax, colsum)
+    )(fp, fq, maskf, rowmax, rowsum, colmax, colsum)
 
     return row_best[0], row_j[0], col_best[0]
 
@@ -181,22 +179,18 @@ def fused_match_scores(
     feat_q: jax.Array,       # [B, S, C]
     temperature: float,
     point_mask: jax.Array | None = None,  # [B, L]
-    img_mask: jax.Array | None = None,    # [B, S]
 ):
     """Batched fused scoring. Returns (row_best [B,L], row_j [B,L], col_best [B,S])."""
     B, L, C = feat_p.shape
-    S = feat_q.shape[1]
     if point_mask is None:
         point_mask = jnp.ones((B, L), dtype=bool)
-    if img_mask is None:
-        img_mask = jnp.ones((B, S), dtype=bool)
     pad = (-L) % TILE_L
     if pad:
         feat_p = jnp.pad(feat_p, ((0, 0), (0, pad), (0, 0)))
         point_mask = jnp.pad(point_mask, ((0, 0), (0, pad)))
     row_best, row_j, col_best = jax.vmap(
-        lambda p, q, m, mq: _fused_single(p, q, m, mq, temperature)
-    )(feat_p, feat_q, point_mask, img_mask)
+        lambda p, q, m: _fused_single(p, q, m, temperature)
+    )(feat_p, feat_q, point_mask)
     if pad:
         row_best = row_best[:, :L]
         row_j = row_j[:, :L]

@@ -173,6 +173,13 @@ def train_step(
             from ..ops import matching as match_ops
             from ..ops import pallas_kernels as fused_ops
 
+            # img_mask is deliberately NOT passed to coarse_tokens: the
+            # filter-only design (matcher2d3d.py coarse() docstring) keeps
+            # attention/softmax unmasked in BOTH train paths and inference
+            # — full masking measured a 0.06 AP train/test-distribution
+            # regression (logs/ffe_r4a.log). The mask acts only through
+            # project_gt (supervision gating) and the col_mask post-filter
+            # below, matching the dense method=coarse branch.
             (q_tok, p_tok, feat_f, chw), mutated = model.apply(
                 variables,
                 batch.query_image,
@@ -180,7 +187,6 @@ def train_step(
                 batch.desc3d_coarse,
                 batch.point_mask,
                 train=True,
-                img_mask=batch.img_mask,
                 mutable=["batch_stats"],
                 method=OnePoseMatcher.coarse_tokens,
             )

@@ -440,6 +440,52 @@ def test_train_step_with_img_mask(rng):
     assert np.all(img_mask[np.arange(2)[:, None], gj][gv])
 
 
+def test_train_step_fused_dense_parity_img_mask(rng):
+    """fused_coarse must be a loss-IMPLEMENTATION switch, not a semantics
+    switch: with img_mask set, the fused path must produce the same loss
+    and gradients as the dense path (advisor r4 high finding — the fused
+    branch used to mask attention via coarse_tokens(img_mask=...), which
+    the dense path and inference deliberately do not do)."""
+    import dataclasses
+
+    cfg_fused = tiny_engine_cfg()
+    cfg_dense = dataclasses.replace(
+        cfg_fused,
+        train=dataclasses.replace(
+            cfg_fused.train,
+            loss=dataclasses.replace(cfg_fused.train.loss, fused_coarse=False),
+        ),
+    )
+    assert cfg_fused.train.loss.fused_coarse
+    model = OnePoseMatcher(cfg_fused.matcher)
+    batch_np = make_batch(rng, cfg_fused, B=2)
+    H = W = 64
+    stride = cfg_fused.matcher.backbone.coarse_stride
+    S = (H // stride) * (W // stride)
+    Wc = W // stride
+    col = np.arange(S) % Wc
+    img_mask = np.tile((col < Wc - 2)[None], (2, 1))   # right strip = fill
+    batch = jax.tree.map(jnp.asarray, batch_np._replace(img_mask=img_mask))
+    tx = step.make_optimizer(cfg_fused.train, world_size=1, steps_per_epoch=100)
+    state = step.init_state(jax.random.key(0), model, tx, batch)
+    out = {}
+    for name, cfg in [("fused", cfg_fused), ("dense", cfg_dense)]:
+        jitted = jax.jit(
+            step.train_step, static_argnames=("model", "tx", "cfg")
+        )
+        new_state, scalars = jitted(
+            state, batch, jax.random.key(7), model=model, tx=tx, cfg=cfg
+        )
+        out[name] = (
+            float(scalars["loss"]),
+            float(scalars["loss_coarse"]),
+            float(scalars["loss_fine"]),
+            float(scalars["grad_norm"]),
+        )
+    for a, b in zip(out["fused"], out["dense"]):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
 def test_map_training_batches_valid_quads(rng):
     """valid_quads -> batches carry the matching cell mask; homography-free
     samples keep the affine-rect mask exactly."""
