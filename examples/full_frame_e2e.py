@@ -105,6 +105,12 @@ def main():
                          "the object's 2D-3D matches (joint pose+focal GN, "
                          "PoseEstimator.self_calibrate) before the "
                          "inferred-K pass")
+    ap.add_argument("--calib_method", default="joint",
+                    choices=["joint", "median"],
+                    help="self-calibration estimator: 'joint' = one shared "
+                         "log-focal across sampled frames (breaks the "
+                         "per-frame f/tz degeneracy); 'median' = the r4 "
+                         "per-frame inlier-weighted median")
     ap.add_argument("--refine", default=None, choices=[None, "correlation"],
                     help="temporal second pass over the wild sequence")
     ap.add_argument("--save_run", default=None,
@@ -580,9 +586,11 @@ def main():
               f"{100 * abs(K_inf[1, 1] - f_gt) / f_gt:.1f}%)")
         if args.refine_focal:
             K_inf, cal_info = estimator.self_calibrate(
-                frames_eval, K_inf.astype(np.float32)
+                frames_eval, K_inf.astype(np.float32),
+                method=args.calib_method,
             )
-            print(f"self-calibrated focal: scale {cal_info['scale']:.4f} "
+            print(f"self-calibrated focal ({args.calib_method}): "
+                  f"scale {cal_info['scale']:.4f} "
                   f"over {cal_info['n_frames_used']} frames -> "
                   f"f={K_inf[0, 0]:.1f}/{K_inf[1, 1]:.1f} px (GT {f_gt:.1f}; "
                   f"err {100 * abs(K_inf[1, 1] - f_gt) / f_gt:.1f}%)")

@@ -159,6 +159,16 @@ class PoseEstimator:
         self._lost = True
         self._stale = 0
 
+    def _account(self, r: FrameResult) -> FrameResult:
+        """Once-per-FRAME staleness accounting (`_stale` = consecutive
+        frames without a successful pose, feeds the retry-box pad growth).
+        Kept separate from _drain, which runs once per ATTEMPT: a frame
+        whose first pass and previous-pose retry both fail must count as
+        ONE lost frame, and a prep-failure frame (no detection at all)
+        must count too (advisor r4 finding)."""
+        self._stale = 0 if r.success else self._stale + 1
+        return r
+
     def estimate(
         self, frame: np.ndarray, K: np.ndarray, frame_idx: int = 0,
         crop_affine: np.ndarray | None = None,
@@ -180,10 +190,10 @@ class PoseEstimator:
             crop, K_crop = frame, K
             A3 = (np.eye(3, dtype=np.float32)
                   if crop_affine is None else crop_affine)
-            return self._match_and_pnp(
+            return self._account(self._match_and_pnp(
                 crop, K_crop, A3, tracked=False, frame_idx=frame_idx,
                 frame_hw=src_frame_hw,
-            )
+            ))
         if (
             not self._lost
             and self._prev_pose is not None
@@ -232,15 +242,13 @@ class PoseEstimator:
                 if r2.success or r is None:
                     r = r2
         if r is None:
-            # no detection at all: _drain never ran, count the miss here
-            self._stale += 1
             r = FrameResult(
                 pose6=np.zeros(6, np.float32), T44=np.eye(4, dtype=np.float32),
                 n_inliers=0, n_matches=0, tracked=False, success=False,
                 mkpts3d=np.zeros((0, 3), np.float32),
                 mkpts2d_full=np.zeros((0, 2), np.float32),
             )
-        return r
+        return self._account(r)
 
     def _dispatch(
         self,
@@ -266,7 +274,16 @@ class PoseEstimator:
             stride = cfg.matcher.backbone.coarse_stride
             quad = img_ops.valid_quad_from_affine(A3, frame_hw)
             Hc_px, Wc_px = crop.shape[:2]
-            if (quad[:, 0].min() <= 0 and quad[:, 1].min() <= 0
+            # fully-valid test: min/max bounds of the quad only imply
+            # containment when the quad is an axis-aligned rectangle — a
+            # rotated/sheared crop affine could cover the crop's bounding
+            # box without covering its corners (advisor r4 finding), so the
+            # fast path additionally requires an axis-aligned A3 (the
+            # detector only produces scale+shift affines, so tracked frames
+            # still take it).
+            axis_aligned = abs(A3[0, 1]) < 1e-6 and abs(A3[1, 0]) < 1e-6
+            if (axis_aligned
+                    and quad[:, 0].min() <= 0 and quad[:, 1].min() <= 0
                     and quad[:, 0].max() >= Wc_px and quad[:, 1].max() >= Hc_px):
                 S = (Hc_px // stride) * (Wc_px // stride)
                 cache = getattr(self, "_ones_mask", None)
@@ -308,10 +325,12 @@ class PoseEstimator:
         if success:
             self._prev_pose = pose6
             self._lost = False
-            self._stale = 0
         else:
             self._lost = True  # re-detect next frame (reference :150-163)
-            self._stale += 1
+        # NOTE: _stale is NOT touched here — _drain runs once per ATTEMPT
+        # (a frame's first pass and its previous-pose retry both drain),
+        # while the retry-pad growth needs once-per-FRAME accounting; see
+        # _account (advisor r4 finding).
 
         T44 = np.eye(4, dtype=np.float32)
         T44[:3, :3] = Rotation.from_rotvec(
@@ -350,18 +369,34 @@ class PoseEstimator:
         sample_stride: int = 8,
         min_inliers: int = 12,
         rounds: int = 1,
+        method: str = "joint",
     ) -> tuple[np.ndarray, dict]:
         """Refine an approximate focal (e.g. the calib-net's 8-12%-error K)
-        from the object itself: on sampled frames, run the matcher and a
-        joint (pose, focal-scale) RANSAC+GN (solvers.ransac_pnp_focal), then
-        take the inlier-weighted median scale over frames. Returns
-        (K_refined, info). The estimated scale transfers from crop to full
-        image exactly because the crop affine is a uniform scale+shift.
+        from the object itself. Two estimators:
+
+        * ``method="joint"`` (default): collect every sampled frame's 2D-3D
+          matches + a loose-gate RANSAC pose, then ONE joint Gauss-Newton
+          over (all poses, one shared log focal-scale)
+          (solvers.joint_focal_refine). The multi-frame baseline breaks the
+          per-frame f/tz near-degeneracy that biased the median estimator
+          (3.8% residual, compounding to 7.1% over 2 rounds —
+          logs/ffe_r4a_calib2.log).
+        * ``method="median"``: the r4 estimator — per-frame
+          (pose, focal-scale) RANSAC+GN (solvers.ransac_pnp_focal),
+          inlier-weighted median scale over frames.
+
+        Returns (K_refined, info). The estimated scale transfers from crop
+        to full image exactly because the crop affine is a uniform
+        scale+shift.
 
         This is the engine-side answer to the reference's infer_K trust
         (inference.py:121-123): a deep-calibration K seeds the pipeline and
         the 2D-3D matches finish the job.
         """
+        if method == "joint":
+            return self._self_calibrate_joint(
+                frames, K0, sample_stride, min_inliers, rounds
+            )
         from ..solvers import ransac_pnp_focal
 
         if getattr(self, "_fwd_pnp_focal", None) is None:
@@ -428,6 +463,92 @@ class PoseEstimator:
             }
         return K_cur.astype(np.float32), info
 
+    def _self_calibrate_joint(
+        self,
+        frames: np.ndarray,
+        K0: np.ndarray,
+        sample_stride: int,
+        min_inliers: int,
+        rounds: int,
+    ) -> tuple[np.ndarray, dict]:
+        import dataclasses
+
+        from ..solvers import joint_focal_refine, ransac_pnp
+
+        if getattr(self, "_fwd_calib_joint", None) is None:
+            model, pnp_cfg = self.model, self.cfg.pnp
+            cfg_loose = dataclasses.replace(
+                pnp_cfg,
+                reproj_threshold_px=3.0 * pnp_cfg.reproj_threshold_px,
+                tight_refine_px=0.0, recenter_iters=0,
+            )
+
+            def fwd(variables, img, kpts, dc, df, mask, K_crop, rng,
+                    img_mask=None):
+                out = model.apply(
+                    variables, img, kpts, dc, df, mask, img_mask=img_mask
+                )
+                pts3d = out["mkpts3d"][0]
+                uv = out["mkpts_query_f"][0]
+                v = out["matches"].valid[0]
+                res = ransac_pnp(rng, pts3d, uv, K_crop, v, cfg_loose)
+                return (
+                    pts3d, uv, v & res.inliers, res.pose6,
+                    res.n_inliers, res.success,
+                )
+
+            self._fwd_calib_joint = jax.jit(fwd)
+
+        kpts, dc, df, mask = self._cloud
+        stride = self.cfg.matcher.backbone.coarse_stride
+        K_cur = np.asarray(K0, np.float64).copy()
+        s_total = 1.0
+        info: dict = {"n_frames_used": 0, "scale": 1.0, "method": "joint"}
+        for rnd in range(max(rounds, 1)):
+            P3, UV, V, P6, KC = [], [], [], [], []
+            for f in range(0, len(frames), max(1, sample_stride)):
+                det = self.detector.detect(frames[f], rng_seed=f)
+                if not det.success:
+                    continue
+                crop, K_crop, A3 = self.detector.crop(
+                    frames[f], det, K_cur.astype(np.float32)
+                )
+                img_mask = jnp.asarray(img_ops.valid_cell_mask(
+                    A3, frames[f].shape[:2], crop.shape[:2], stride
+                )[None])
+                pts3d, uv, v, pose6, n_inl, ok = jax.device_get(
+                    self._fwd_calib_joint(
+                        self.variables, jnp.asarray(crop[None, ..., None]),
+                        kpts, dc, df, mask, jnp.asarray(K_crop),
+                        jax.random.key(1000 * rnd + f),
+                        img_mask=img_mask,
+                    )
+                )
+                if bool(ok) and int(n_inl) >= min_inliers:
+                    P3.append(pts3d); UV.append(uv); V.append(v)
+                    P6.append(pose6); KC.append(K_crop)
+            if len(P3) < 2:
+                break   # the joint estimator needs >= 2 views for leverage
+            _, s_j, inl = jax.device_get(joint_focal_refine(
+                jnp.asarray(np.stack(P3)), jnp.asarray(np.stack(UV)),
+                jnp.asarray(np.stack(V)), jnp.asarray(np.stack(P6)),
+                jnp.asarray(np.stack(KC)),
+                reproj_threshold_px=float(
+                    self.cfg.pnp.reproj_threshold_px
+                ),
+            ))
+            s_med = float(s_j)
+            K_cur[0, 0] *= s_med
+            K_cur[1, 1] *= s_med
+            s_total *= s_med
+            info = {
+                "n_frames_used": len(P3), "scale": s_total,
+                "last_round_scale": s_med, "rounds_run": rnd + 1,
+                "method": "joint",
+                "joint_inliers": int(np.asarray(inl).sum()),
+            }
+        return K_cur.astype(np.float32), info
+
     def _prep(self, frame: np.ndarray, K: np.ndarray, frame_idx: int):
         """Host half of `estimate`: box decision + crop. Returns None when
         detection failed outright."""
@@ -449,7 +570,24 @@ class PoseEstimator:
         if not det.success:
             return None
         crop, K_crop, A3 = self.detector.crop(frame, det, K)
-        return crop, K_crop, A3, tracked
+        return crop, K_crop, A3, tracked, det.box
+
+    @staticmethod
+    def _box_diverged(box_used: np.ndarray, box_fresh: np.ndarray,
+                      pad: float = 1.1) -> bool:
+        """True when the fresh-pose crop box has moved enough that the
+        stale crop may clip the object: center shift beyond the detector's
+        padding margin (size * (1 - 1/pad) / 2 per side), or scale change
+        > 9%."""
+        su = float(box_used[2] - box_used[0])
+        sf = float(box_fresh[2] - box_fresh[0])
+        if su <= 0 or sf <= 0:
+            return True
+        margin = su * (1.0 - 1.0 / pad) * 0.5
+        cu = np.array([box_used[0] + box_used[2], box_used[1] + box_used[3]])
+        cf = np.array([box_fresh[0] + box_fresh[2], box_fresh[1] + box_fresh[3]])
+        shift = float(np.max(np.abs(cu - cf))) * 0.5
+        return shift > margin or not (0.92 < sf / su < 1.09)
 
     def run_sequence(
         self, frames, Ks, start_idx: int = 0
@@ -459,14 +597,23 @@ class PoseEstimator:
         frame t's device execution and fetch, hiding the host/tunnel share
         of the frame budget (r3: 32 ms host vs 15 ms device per frame).
 
-        Frame t+1's crop box uses the pose of frame t-1 (one frame staler
-        than the sequential loop) — the detector box already pads 1.1x, so
-        one extra frame of motion is inside the margin. The lost-track
-        contract is preserved: when a drained frame fails while its
-        successor was dispatched from a (now stale) tracked box, the
-        successor is re-estimated synchronously with the detector, so a
-        corrupted frame's successor still recovers (reference re-detect
-        loop, inference.py:150-173).
+        Frame t+1's crop box uses a stale pose (staler than the sequential
+        loop) — the detector box already pads 1.1x, so small inter-frame
+        motion stays inside the margin. Two guards keep pipelining
+        accuracy-neutral (r4 measured a 0.05 AP staleness cost ungated):
+
+        * lost-track contract: when a drained frame fails while its
+          successor was dispatched from a (now stale) tracked box, the
+          successor is re-estimated synchronously with the detector, so a
+          corrupted frame's successor still recovers (reference re-detect
+          loop, inference.py:150-173);
+        * box-divergence re-dispatch: after draining frame t, the box the
+          in-flight frame t+1 was dispatched with is compared against the
+          box the FRESH pose would produce; if the center moved beyond the
+          detector's padding margin (or the scale changed >9%), the object
+          may be clipped in the stale crop, so frame t+1 is re-dispatched
+          from the fresh box. Costs one extra device call on fast-motion
+          frames only.
         """
         if self.detector is None:
             return [
@@ -474,19 +621,19 @@ class PoseEstimator:
                 for f in range(len(frames))
             ]
         results: list[FrameResult] = []
-        pending = None         # (frame_idx, handle)
+        pending = None         # (frame_idx, handle, box_used)
         for f in range(len(frames)):
             idx = start_idx + f
             prep = self._prep(frames[f], Ks[f], idx)
-            handle = None
+            handle, box_used = None, None
             if prep is not None:
-                crop, K_crop, A3, tracked = prep
+                crop, K_crop, A3, tracked, box_used = prep
                 handle = self._dispatch(
                     crop, K_crop, A3, tracked, idx, frames[f].shape[:2]
                 )
             if pending is not None:
-                pf, ph = pending
-                r = self._drain(ph)
+                pf, ph, _ = pending
+                r = self._account(self._drain(ph))
                 results.append(r)
                 if not r.success and handle is not None and handle[2]:
                     # the in-flight successor used a tracked box from a pose
@@ -497,19 +644,37 @@ class PoseEstimator:
                     pending = None
                     handle = None
                     continue
+                if (
+                    r.success and handle is not None and handle[2]
+                    and self.box_corners3d is not None
+                ):
+                    fresh = self.detector.previous_pose_detect(
+                        r.pose6, Ks[f], self.box_corners3d,
+                        frame_hw=frames[f].shape[:2],
+                    )
+                    if fresh.success and self._box_diverged(
+                        box_used, fresh.box
+                    ):
+                        crop, K_crop, A3 = self.detector.crop(
+                            frames[f], fresh, Ks[f]
+                        )
+                        handle = self._dispatch(
+                            crop, K_crop, A3, True, idx, frames[f].shape[:2]
+                        )
+                        box_used = fresh.box
             if handle is not None:
-                pending = (idx, handle)
+                pending = (idx, handle, box_used)
             else:
-                results.append(FrameResult(
+                results.append(self._account(FrameResult(
                     pose6=np.zeros(6, np.float32),
                     T44=np.eye(4, dtype=np.float32),
                     n_inliers=0, n_matches=0, tracked=False, success=False,
                     mkpts3d=np.zeros((0, 3), np.float32),
                     mkpts2d_full=np.zeros((0, 2), np.float32),
-                ))
+                )))
                 pending = None
         if pending is not None:
-            results.append(self._drain(pending[1]))
+            results.append(self._account(self._drain(pending[1])))
         return results
 
 

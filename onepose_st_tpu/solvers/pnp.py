@@ -313,3 +313,85 @@ def ransac_pnp_focal(
         ),
         s,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("gn_rounds", "gn_iters"))
+def joint_focal_refine(
+    pts3d: jax.Array,      # [F, N, 3] per-frame 3D correspondences
+    uv: jax.Array,         # [F, N, 2] pixels (each frame's own image/crop)
+    valid: jax.Array,      # [F, N] bool
+    pose6_init: jax.Array, # [F, 6] per-frame initial poses (under K0)
+    Ks: jax.Array,         # [F, 3, 3] per-frame intrinsics to be scaled
+    reproj_threshold_px: float = 3.0,
+    gn_rounds: int = 3,
+    gn_iters: int = 8,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Joint Gauss-Newton over F frames' poses + ONE shared log focal-scale.
+
+    The per-frame (pose, focal) estimator (ransac_pnp_focal) is nearly
+    degenerate: at object distance the focal column of the Jacobian is
+    almost parallel to the tz column, so each frame's scale estimate
+    carries a consistent bias and aggregating per-frame medians compounds
+    it (measured 3.8% -> 7.1% over 2 rounds, logs/ffe_r4a_calib2.log).
+    Here the MULTI-frame baseline breaks the degeneracy: every frame gets
+    its own free (pose, tz) but they must all agree on one focal, so the
+    f/tz trade-off is resolved by the geometry across views — a tiny
+    bundle adjustment with a single shared intrinsic (the reference has no
+    analogue; it trusts infer_K, inference.py:121-123).
+
+    Params are [6F + 1]; J is [2FN, 6F+1] by forward-mode autodiff and the
+    normal system solves densely (F <= ~16 keeps it < 100x100). Inliers
+    re-selected between rounds at `reproj_threshold_px`.
+
+    Returns (pose6 [F, 6], focal_scale s, inliers [F, N]).
+    """
+    F = pts3d.shape[0]
+    params = jnp.concatenate(
+        [pose6_init.reshape(-1), jnp.zeros((1,), pose6_init.dtype)]
+    )
+    inliers = valid
+
+    def residual(p, w):
+        poses = p[: 6 * F].reshape(F, 6)
+        s = jnp.exp(p[-1])
+        Kf = jax.vmap(_scale_K_focal, in_axes=(0, None))(Ks, s)
+        r = jax.vmap(_reproj_residual)(poses, pts3d, uv, Kf)   # [F, N, 2]
+        return (r * w[..., None]).reshape(-1)
+
+    n_params = 6 * F + 1
+    for _ in range(gn_rounds):
+        w = inliers.astype(jnp.float32)
+
+        def gn_step(p, _):
+            r = residual(p, w)
+            J = jax.jacfwd(lambda q: residual(q, w))(p)        # [2FN, 6F+1]
+            JtJ = jnp.matmul(J.T, J, precision=_PREC)
+            Jtr = jnp.matmul(J.T, r, precision=_PREC)
+            with jax.default_matmul_precision("highest"):
+                delta = jnp.linalg.solve(
+                    JtJ + 1e-6 * jnp.eye(n_params, dtype=JtJ.dtype), Jtr
+                )
+            # the full joint Newton step overshoots on this nonlinearity
+            # (measured: cost 851 -> 1053 on the multiframe unit test, so
+            # an accept/reject-only loop stalls at s == 1); backtrack over
+            # fixed step scales and keep the best candidate
+            alphas = jnp.array([1.0, 0.5, 0.25, 0.1], delta.dtype)
+            cands = p[None, :] - alphas[:, None] * delta[None, :]
+            costs = jax.vmap(
+                lambda c: jnp.sum(residual(c, w) ** 2)
+            )(cands)
+            best = jnp.argmin(costs)
+            cand = cands[best]
+            better = costs[best] < jnp.sum(r**2)
+            return jnp.where(better, cand, p), None
+
+        params, _ = jax.lax.scan(gn_step, params, None, length=gn_iters)
+        s = jnp.exp(params[-1])
+        Kf = jax.vmap(_scale_K_focal, in_axes=(0, None))(Ks, s)
+        r = jax.vmap(_reproj_residual)(
+            params[: 6 * F].reshape(F, 6), pts3d, uv, Kf
+        )
+        err2 = jnp.sum(r * r, axis=-1)
+        inliers = (err2 < reproj_threshold_px**2) & valid
+
+    return params[: 6 * F].reshape(F, 6), jnp.exp(params[-1]), inliers

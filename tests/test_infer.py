@@ -289,3 +289,56 @@ def test_run_sequence_pipelined_matches_sequential(rng):
         assert a.success == b.success and a.tracked == b.tracked
         if a.success:
             np.testing.assert_allclose(a.pose6, b.pose6, atol=1e-5)
+
+
+def test_self_calibrate_joint_smoke(rng):
+    """The joint self-calibration path compiles and degrades gracefully:
+    with random weights no frame clears min_inliers, so K is returned
+    unchanged (the < 2-frames early break)."""
+    from onepose_st_tpu.infer.pipeline import PoseEstimator
+    from onepose_st_tpu.sfm.map import SfMMap
+
+    mcfg = small_matcher_cfg()
+    cfg = cfg_lib.EngineConfig(matcher=mcfg)
+    model = OnePoseMatcher(mcfg)
+    n_map = 32
+    corners = np.asarray(camera.box3d_corners(
+        jnp.asarray(np.array([0.2, 0.2, 0.2], np.float32))
+    ))
+    sfm_map = SfMMap(
+        keypoints3d=rng.uniform(-0.1, 0.1, size=(n_map, 3)).astype(np.float32),
+        desc_coarse=rng.normal(size=(n_map, 32)).astype(np.float32),
+        desc_fine=rng.normal(size=(n_map, 16)).astype(np.float32),
+        scores=np.ones(n_map, np.float32),
+        box_corners=corners,
+    )
+    detector, imgs = make_detector(rng)
+    L = mcfg.n_points
+    variables = model.init(
+        jax.random.key(0), jnp.asarray(imgs[:1, ..., None]),
+        jnp.zeros((1, L, 3)), jnp.zeros((1, L, 32)), jnp.zeros((1, L, 16)),
+    )
+    est = PoseEstimator(cfg, model, variables, sfm_map, detector)
+    frames = np.stack([_texture(rng) for _ in range(4)])
+    K0 = np.array([[80.0, 0, 32.0], [0, 80.0, 32.0], [0, 0, 1]], np.float32)
+    K_out, info = est.self_calibrate(frames, K0, sample_stride=1, method="joint")
+    assert info["method"] == "joint"
+    # with random weights nothing passes min_inliers -> K unchanged
+    np.testing.assert_allclose(K_out, K0)
+
+
+def test_box_diverged_thresholds():
+    from onepose_st_tpu.infer.pipeline import PoseEstimator
+
+    box = np.array([100.0, 100.0, 300.0, 300.0], np.float32)   # size 200
+    same = box.copy()
+    assert not PoseEstimator._box_diverged(box, same)
+    # shift within the 1.1x padding margin (margin ~ 9.1 px): ok
+    small = box + np.array([5.0, 0, 5.0, 0], np.float32)
+    assert not PoseEstimator._box_diverged(box, small)
+    # shift beyond the margin: re-dispatch
+    big = box + np.array([20.0, 0, 20.0, 0], np.float32)
+    assert PoseEstimator._box_diverged(box, big)
+    # scale change > 9%: re-dispatch
+    grown = np.array([88.0, 88.0, 312.0, 312.0], np.float32)   # size 224
+    assert PoseEstimator._box_diverged(box, grown)

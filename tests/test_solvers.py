@@ -252,3 +252,66 @@ def test_pnp_focal_self_calibration(rng):
     T[:3, 3] = np.asarray(t)
     r_err, t_err = metrics.query_pose_error(T, pose_gt)
     assert r_err < 0.5 and t_err < 1.0, (r_err, t_err)
+
+
+def test_joint_focal_refine_multiframe(rng):
+    """joint_focal_refine: one shared log-focal across F frames' poses.
+
+    Scene is deliberately f/tz-degenerate per frame (shallow object at
+    distance, varying depths across frames): the multi-frame baseline must
+    still recover a 12%-wrong focal to <1%."""
+    from onepose_st_tpu.core import so3
+    from onepose_st_tpu.solvers import joint_focal_refine
+
+    F, N = 6, 256
+    K = np.array([[600.0, 0, 256], [0, 600.0, 256], [0, 0, 1]], np.float32)
+    # shallow object: 16 cm wide, only 4 cm deep
+    pts = rng.uniform(-0.08, 0.08, size=(N, 3)).astype(np.float32)
+    pts[:, 2] *= 0.25
+    P3, UV, V, P6gt, KF = [], [], [], [], []
+    for f in range(F):
+        R = Rotation.from_rotvec(rng.normal(size=3) * 0.5).as_matrix()
+        t = np.array([0.02 * f - 0.05, 0.03, 0.5 + 0.12 * f], np.float32)
+        uvz = (pts @ R.T.astype(np.float32) + t) @ K.T
+        uv = (uvz[:, :2] / uvz[:, 2:]).astype(np.float32)
+        uv += rng.normal(size=uv.shape).astype(np.float32) * 0.5
+        out_idx = rng.choice(N, N // 5, replace=False)
+        uv[out_idx] = rng.uniform(0, 512, size=(len(out_idx), 2))
+        P3.append(pts)
+        UV.append(uv)
+        V.append(np.ones(N, bool))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        P6gt.append(T)
+        KF.append(K)
+
+    K_wrong = K.copy()
+    K_wrong[0, 0] *= 0.88
+    K_wrong[1, 1] *= 0.88
+    cfg = PnPConfig(n_hypotheses=256)
+    # per-frame inits under the WRONG K (as self_calibrate does)
+    inits, valids = [], []
+    for f in range(F):
+        res = ransac_pnp(
+            jax.random.key(f), jnp.asarray(P3[f]), jnp.asarray(UV[f]),
+            jnp.asarray(K_wrong), jnp.asarray(V[f]), cfg,
+        )
+        inits.append(np.asarray(res.pose6))
+        valids.append(np.asarray(res.inliers))
+
+    poses, s, inl = joint_focal_refine(
+        jnp.asarray(np.stack(P3)), jnp.asarray(np.stack(UV)),
+        jnp.asarray(np.stack(valids)), jnp.asarray(np.stack(inits)),
+        jnp.asarray(np.stack([K_wrong] * F)),
+    )
+    f_rec = float(s) * K_wrong[0, 0]
+    assert abs(f_rec - K[0, 0]) / K[0, 0] < 0.01, (f_rec, K[0, 0])
+    # poses under the corrected K must be accurate too
+    for f in range(F):
+        R, t = so3.pose6_to_Rt(poses[f])
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(R)
+        T[:3, 3] = np.asarray(t)
+        r_err, t_err = metrics.query_pose_error(T, P6gt[f])
+        assert r_err < 0.6 and t_err < 1.0, (f, r_err, t_err)
