@@ -54,6 +54,35 @@ _CONTAMINATED: str | None = None
 _CALIB_PATH = ".bench_calib.json"
 
 
+def _host_load_check() -> tuple[float, str | None]:
+    """(1-min load average, contamination reason or None).
+
+    The MXU GEMM probe cannot see HOST contention: round 4's final bench
+    ran while an 8000-step retrain queued at 23:26 ate the host CPUs — the
+    probe passed (-5.5%) while depth-BA throughput halved and the closed
+    loop's host share ballooned 27.6 -> 43.5 ms. Host-bound metrics
+    (closed_loop_real, depth_ba's fetch path, train input prep) are only
+    meaningful on an idle host, so any run with significant background
+    load is ANNOTATED as contaminated.
+    """
+    import os
+
+    try:
+        load = os.getloadavg()[0]
+        ncpu = os.cpu_count() or 1
+    except OSError:
+        return 0.0, None
+    # this process plus the device runtime legitimately keep ~1 core busy;
+    # sustained load beyond that means a concurrent job is competing for
+    # the host (the r4 failure mode: a background training process)
+    if load > max(1.5, 0.5 * ncpu):
+        return load, (
+            f"host 1-min load {load:.1f} on {ncpu} CPUs: concurrent "
+            "host work is competing with the benchmark"
+        )
+    return load, None
+
+
 def _load_calib(kind: str) -> float | None:
     import os
 
@@ -155,9 +184,10 @@ def _achievable_flops() -> float:
             best_ach, best_reason = ach, None
             break
         time.sleep(2.0)
-    if best_reason is None and on_tpu:
+    load, host_reason = _host_load_check()
+    if best_reason is None and host_reason is None and on_tpu:
         _store_calib(kind, best_ach / 1e12)
-    _CONTAMINATED = best_reason
+    _CONTAMINATED = best_reason or host_reason
     if best_reason is not None:
         print(f"WARNING: bench contaminated: {best_reason}", file=sys.stderr)
         # report against the persisted clean ceiling, not the depressed
@@ -705,8 +735,13 @@ def bench_closed_loop_real(n_frames: int = 40, image: int = 512) -> dict:
                                                    # bench_pipeline fps
     }
     _achievable_flops()  # runs the contamination probe if not yet run
-    if _CONTAMINATED is not None:
-        out["contaminated"] = _CONTAMINATED
+    # re-check host load NOW: in `all` mode the probe ran minutes ago, and
+    # this metric is the most host-bound one
+    load, host_reason = _host_load_check()
+    out["host_load"] = round(load, 2)
+    reason = _CONTAMINATED or host_reason
+    if reason is not None:
+        out["contaminated"] = reason
     return out
 
 
