@@ -160,6 +160,11 @@ def main():
                          "sub-pixel; cuts along-epipolar-line mismatches")
     ap.add_argument("--min_rotation", type=float, default=10.0,
                     help="min relative rotation (deg) for a covis pair")
+    ap.add_argument("--n_objects", type=int, default=1,
+                    help="train ONE matcher over N distinct objects' maps "
+                         "(the reference's merged-annotation multi-object "
+                         "training, merge.py) and evaluate each object "
+                         "separately; objects use derived seeds")
     args = ap.parse_args()
 
     import jax
@@ -188,6 +193,8 @@ def main():
     if args.refine_iters != 1:
         cfg = cfg_lib.replace(cfg, sfm=cfg_lib.replace(
             cfg.sfm, refine_iters=args.refine_iters))
+    if args.n_objects > 1:
+        return _multi_object_main(args, cfg)
     rng = np.random.default_rng(args.seed)
 
     # --- scene + rendering -------------------------------------------------
@@ -385,7 +392,158 @@ def main():
                      eval_ids, rng)
 
 
-def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids, rng):
+def _multi_object_main(args, cfg):
+    """N distinct splat objects -> N maps -> ONE jointly trained matcher
+    (train.data.multi_object_batches, the reference's merged-COCO
+    multi-object training, merge.py:13-197) -> per-object held-out eval.
+
+    Derived seeds give each object its own geometry/texture; train frames
+    of every object mix freely in each batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_st_tpu import config as cfg_lib
+    from onepose_st_tpu.core import camera
+    from onepose_st_tpu.data import synthetic
+    from onepose_st_tpu.models import OnePoseMatcher
+    from onepose_st_tpu.sfm import pipeline as sfm_pipeline
+    from onepose_st_tpu.sfm import tracks as tracks_mod
+    from onepose_st_tpu.train import data as data_mod, loop as loop_mod
+    from onepose_st_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    eval_ids = np.arange(2, args.frames, 5)
+    train_ids = np.setdiff1d(np.arange(args.frames), eval_ids)
+
+    model = OnePoseMatcher(cfg.matcher)
+    L = cfg.matcher.n_points
+    Cc = cfg.matcher.coarse.d_model
+    Cf = cfg.matcher.fine.d_model
+
+    loftr = lvars = None
+    if args.loftr_ckpt is not None:
+        from onepose_st_tpu.models.loftr import LoFTRMatcher
+        from onepose_st_tpu.train.loop import load_checkpoint
+
+        lcfg = cfg_lib.load_model_config(args.loftr_ckpt)
+        assert lcfg is not None, "multi-object LoFTR path needs a saved config"
+        lcfg = cfg_lib.adapt_dtypes(lcfg)
+        if args.loftr_conf_thr is not None:
+            lcfg = cfg_lib.replace(lcfg, coarse_matching=cfg_lib.replace(
+                lcfg.coarse_matching, threshold=args.loftr_conf_thr))
+        loftr = LoFTRMatcher(lcfg)
+        lvars = load_checkpoint(args.loftr_ckpt)
+
+    objects, scenes, all_frames, maps = [], [], [], []
+    variables = None
+    corners = np.asarray(camera.box3d_corners(jnp.asarray([0.3, 0.3, 0.3])))
+    for o in range(args.n_objects):
+        o_seed = args.seed + 7919 * o
+        rng_o = np.random.default_rng(o_seed)
+        scene = synthetic.make_scene(
+            rng_o, n_points=args.points, n_frames=args.frames,
+            image_hw=(args.image, args.image), focal=1.4 * args.image,
+            object_size=0.25, elevation_jitter=args.elev_jitter,
+        )
+        frames = synthetic.render_sequence(scene, rng_o, sigma_px=1.8)
+        if variables is None:
+            variables = jax.jit(model.init)(
+                jax.random.key(0), jnp.asarray(frames[:1, ..., None]),
+                jnp.zeros((1, L, 3)), jnp.zeros((1, L, Cc)),
+                jnp.zeros((1, L, Cf)),
+            )
+        sample_desc = sfm_pipeline.make_descriptor_sampler(
+            model, variables, frames
+        )
+        if loftr is not None:
+            from onepose_st_tpu.sfm import pairs as pairs_mod
+
+            Rs, ts = pairs_mod.poses_to_Rt(scene.poses[train_ids])
+            local_pairs = pairs_mod.pairs_from_poses(
+                Rs, ts, covis_num=args.covis_num,
+                min_rotation_deg=args.min_rotation,
+            )
+            pair_arr = train_ids[local_pairs].astype(np.int32)
+            t0 = time.time()
+            pms = sfm_pipeline.match_pairs_loftr(
+                loftr, lvars, frames, pair_arr, batch_size=args.batch,
+            )
+            print(f"obj{o}: LoFTR-matched {len(pair_arr)} pairs in "
+                  f"{time.time()-t0:.1f}s")
+        else:
+            pms = []
+            for a in range(len(train_ids)):
+                for b in range(a + 1, len(train_ids)):
+                    i, j = int(train_ids[a]), int(train_ids[b])
+                    vis = scene.visible[i] & scene.visible[j]
+                    ids = np.nonzero(vis)[0]
+                    if len(ids) < 8:
+                        continue
+                    noise = rng_o.normal(size=(len(ids), 2)) * 0.3
+                    pms.append(tracks_mod.PairMatches(
+                        i, j, scene.uv[i, ids].astype(np.float32),
+                        (scene.uv[j, ids] + noise).astype(np.float32),
+                        np.ones(len(ids), np.float32),
+                    ))
+        refine_obs = None
+        if args.fine_refine and loftr is not None:
+            refine_obs = lambda a, centers=None, _f=frames: (
+                sfm_pipeline.refine_track_observations(
+                    loftr, lvars, _f, a, batch_pairs=args.batch,
+                    j_centers=centers,
+                )
+            )
+        sfm_map, diag = sfm_pipeline.build_map_from_matches(
+            pms, scene.poses, scene.Ks, cfg, box_corners=corners,
+            sample_descriptors=sample_desc, desc_dims=(Cc, Cf),
+            refine_observations=refine_obs,
+        )
+        print(f"obj{o} (seed {o_seed}) map: {len(sfm_map.keypoints3d)} pts, "
+              f"mean reproj {diag.mean_reproj_err_px:.3f}px")
+        scenes.append(scene)
+        all_frames.append(frames)
+        maps.append(sfm_map)
+        objects.append((
+            sfm_map, frames[train_ids], scene.poses[train_ids],
+            scene.Ks[train_ids],
+        ))
+
+    rng = np.random.default_rng(args.seed)
+    batches = data_mod.multi_object_batches(
+        objects, cfg, rng, batch_size=args.batch,
+        homography_prob=0.15, photometric="dark",
+    )
+    t0 = time.time()
+    state, _ = loop_mod.fit(
+        cfg, model, batches, n_steps=args.steps, log_every=200,
+        log_fn=lambda s, r: print(
+            f"  step {s}: loss {r['loss']:.4f} ({r['steps_per_sec']:.2f} it/s)"
+        ),
+    )
+    print(f"jointly trained {args.steps} steps over {args.n_objects} "
+          f"objects in {time.time()-t0:.1f}s")
+    trained = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if args.save_run:
+        import flax.serialization as ser
+
+        out = Path(args.save_run)
+        out.mkdir(parents=True, exist_ok=True)
+        for o, m in enumerate(maps):
+            m.save(out / f"map_obj{o}.npz")
+        with open(out / "matcher.msgpack", "wb") as f:
+            f.write(ser.to_bytes(trained))
+        cfg_lib.save_model_config(out, cfg)
+        print(f"saved run artifacts -> {out}")
+
+    for o in range(args.n_objects):
+        print(f"--- object {o} held-out eval ---")
+        _evaluate(args, cfg, model, trained, maps[o], scenes[o],
+                  all_frames[o], eval_ids, rng, save_scene3d=False)
+
+
+def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids,
+              rng, save_scene3d=True):
     import jax
     import jax.numpy as jnp
 
@@ -446,7 +604,7 @@ def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids, rng):
     )
     print("held-out pose metrics:", rep.row())
 
-    if args.save_run:
+    if args.save_run and save_scene3d:
         # browsable 3D artifact (wis3d analogue): map + GT/pred eval cameras
         from onepose_st_tpu.utils.scene3d import SceneDump
 
