@@ -690,10 +690,15 @@ def bench_closed_loop_real(n_frames: int = 40, image: int = 512) -> dict:
 
     def drain_pinned(pending):
         r = orig_drain(pending)
-        est._prev_pose = scene.poses[min(fidx["i"], n_frames - 1)].copy()
+        pose = scene.poses[min(fidx["i"], n_frames - 1)].copy()
+        est._prev_pose = pose
         fidx["i"] += 1
         est._lost = False
-        return r._replace(success=True)
+        # pin pose6 too: the box-divergence guard compares the box the
+        # in-flight frame used against the box THIS pose would give — a
+        # garbage random-weights pose would force a re-dispatch every
+        # frame and measure the worst case instead of the tracked path
+        return r._replace(success=True, pose6=pose)
 
     est._drain = drain_pinned
     est._prev_pose = scene.poses[0].copy()
