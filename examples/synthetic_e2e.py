@@ -109,6 +109,14 @@ def main():
                          "the reference's intermittent-failure scenario "
                          "(momentary blur/occlusion) — neighboring clean "
                          "frames feed good tracks into the degraded ones")
+    ap.add_argument("--occlude_eval", type=float, default=0.0,
+                    help="momentary-occlusion protocol: paint a textured "
+                         "occluder covering this fraction of the object "
+                         "bbox onto HELD-OUT frames of the --refine video "
+                         "pass (matcher and tracker both see it; clean "
+                         "neighbors feed tracks). The scenario where a "
+                         "visibility-aware tracker should beat the blind "
+                         "correlation chain")
     ap.add_argument("--degrade_noise_px", type=float, default=0.0,
                     help="add Gaussian pixel noise to the per-frame 2D "
                          "matches of the --refine video pass (simulates a "
@@ -634,6 +642,26 @@ def _evaluate(args, cfg, model, trained, sfm_map, scene, frames, eval_ids,
         t0 = time.time()
         results, gt_all = [], []
         eval_set = {int(e) for e in eval_ids}
+        if args.occlude_eval > 0:
+            frames = frames.copy()
+            for t in sorted(eval_set):
+                vis_uv = scene.uv[t][scene.visible[t]]
+                if len(vis_uv) == 0:
+                    continue
+                lo, hi = vis_uv.min(axis=0), vis_uv.max(axis=0)
+                side = args.occlude_eval * float(np.max(hi - lo))
+                c = lo + rng.uniform(0.25, 0.75, size=2) * (hi - lo)
+                x0 = int(max(c[0] - side / 2, 0))
+                y0 = int(max(c[1] - side / 2, 0))
+                x1 = int(min(c[0] + side / 2, frames.shape[2]))
+                y1 = int(min(c[1] + side / 2, frames.shape[1]))
+                if x1 > x0 and y1 > y0:
+                    patch = 0.45 + 0.1 * rng.uniform(
+                        size=(y1 - y0, x1 - x0)
+                    ).astype(np.float32)
+                    frames[t, y0:y1, x0:x1] = patch
+            print(f"occluder protocol: {args.occlude_eval:.0%} of object "
+                  f"bbox painted over on {len(eval_set)} held-out frames")
         # the video pass needs the raw match tensors on host (the degrade_*
         # flags perturb them before PnP), so it keeps a separate unfused
         # matcher apply rather than make_fwd_pnp

@@ -1,0 +1,34 @@
+#!/bin/bash
+set -u
+cd /root/repo
+for i in $(seq 1 1500); do
+  grep -q "QUEUE2 DONE" logs/r5_queue2_driver.log 2>/dev/null && break
+  sleep 20
+done
+# Round-5 queue 3 (VERDICT item #6): harden the strict-512 "solved" claim.
+# The r4 claim rests on 16 held-out frames of one scene at seed 0
+# (binomial 16/16 is consistent with a true rate as low as ~0.83).
+# Here: two more seeds at 120 frames (24 held-out each), then the
+# multi-object variant (ONE matcher jointly trained over two objects).
+set -u
+cd /root/repo
+for S in 1 2; do
+  timeout 7200 python -u examples/synthetic_e2e.py --preset full --steps 8000 \
+    --frames 120 --image 512 --batch 4 --seed $S --eval_conf_thr 0.05 \
+    --loftr_ckpt ckpts/loftr_full_r3 --fine_refine --strict_map \
+    --refine_iters 2 --matches_cache runs/cache/strict512_s${S}_matches.npz \
+    --save_run runs/e2e_r5_strict512_s${S} \
+    > logs/e2e_r5_strict512_s${S}.log 2>&1
+  echo "== strict512 seed $S rc=$?"
+  grep -h "held-out pose metrics\|map:" logs/e2e_r5_strict512_s${S}.log
+done
+# multi-object: 2 objects, one jointly trained matcher, strict recipe
+timeout 9000 python -u examples/synthetic_e2e.py --preset full --steps 8000 \
+  --frames 80 --image 512 --batch 4 --seed 10 --n_objects 2 \
+  --eval_conf_thr 0.05 --loftr_ckpt ckpts/loftr_full_r3 --fine_refine \
+  --strict_map --refine_iters 2 \
+  --save_run runs/e2e_r5_strict512_multiobj \
+  > logs/e2e_r5_strict512_multiobj.log 2>&1
+echo "== strict512 multiobj rc=$?"
+grep -h "held-out pose metrics\|map:" logs/e2e_r5_strict512_multiobj.log
+echo "QUEUE3 DONE"
