@@ -680,6 +680,29 @@ def bench_closed_loop_real(n_frames: int = 40, image: int = 512) -> dict:
         est.estimate(frames[f], scene.Ks[f], frame_idx=f)
     dt = (time.perf_counter() - t0) / n_frames
 
+    # host-side breakdown (separate pass so instrumentation cannot perturb
+    # the timed loop): where do the ~31 host ms/frame go?
+    from collections import defaultdict
+
+    est._timers = defaultdict(list)
+    t_prep = []
+    for f in range(n_frames):
+        est._prev_pose = scene.poses[f].copy()
+        est._lost = False
+        t0p = time.perf_counter()
+        prep = est._prep(frames[f], scene.Ks[f], f)
+        t_prep.append(time.perf_counter() - t0p)
+        crop, K_crop, A3, tracked, _ = prep
+        est._drain(est._dispatch(
+            crop, K_crop, A3, tracked, f, frames[f].shape[:2]
+        ))
+    breakdown = {
+        k: round(float(np.median(v)) * 1e3, 2)
+        for k, v in est._timers.items()
+    }
+    breakdown["prep_detect_crop"] = round(float(np.median(t_prep)) * 1e3, 2)
+    est._timers = None
+
     # one-frame-lag pipelined sequence driver (host prep + dispatch of t+1
     # overlap device exec + fetch of t). Random bench weights would fail
     # every frame and trigger the loss-recovery redo path each time, so the
@@ -735,6 +758,7 @@ def bench_closed_loop_real(n_frames: int = 40, image: int = 512) -> dict:
         "pipelined_fps": round(1.0 / dt_pipe, 2),
         "device_ms": round(dev_ms, 1),
         "host_ms": round(dt * 1e3 - dev_ms, 1),
+        "host_breakdown_ms": breakdown,
         "cold_start_ms": round(cold_ms, 1),
         "vs_baseline": round(1.0 / dt / 21.5, 4),  # vs the fused-program-only
                                                    # bench_pipeline fps

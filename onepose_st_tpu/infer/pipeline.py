@@ -145,6 +145,9 @@ class PoseEstimator:
         self._prev_pose: np.ndarray | None = None
         self._lost = True
         self._stale = 0   # frames since the last successful pose
+        # host-time instrumentation: set to a defaultdict(list) to record
+        # per-segment wall times (bench.py closed_loop_profile)
+        self._timers: dict | None = None
 
         # fused matcher forward + RANSAC PnP: per-frame latency pays a
         # single dispatch (the tunnel's dispatch floor is ~2.5 ms,
@@ -261,8 +264,11 @@ class PoseEstimator:
     ):
         """Launch the fused device program for one frame (async) and return
         the pending handle; `_drain` completes it."""
+        import time as _time
+
         cfg = self.cfg
         kpts, dc, df, mask = self._cloud
+        _t0 = _time.perf_counter() if self._timers is not None else 0.0
         img_mask = None
         if frame_hw is not None:
             # visibility of crop cells: crops hanging past the frame edge
@@ -298,14 +304,22 @@ class PoseEstimator:
         # ONE batched host->device put for the frame's inputs: separate
         # jnp.asarray calls each pay the tunnel round trip, and the seed
         # rides as a scalar (the key is built inside the program)
+        if self._timers is not None:
+            _t1 = _time.perf_counter()
+            self._timers["mask_build"].append(_t1 - _t0)
         crop_dev, K_dev, seed_dev, img_mask = jax.device_put((
             crop[None, ..., None], np.asarray(K_crop),
             np.asarray([frame_idx], np.int32), img_mask,
         ))
+        if self._timers is not None:
+            _t2 = _time.perf_counter()
+            self._timers["device_put"].append(_t2 - _t1)
         out_dev = self._fwd_pnp(
             self.variables, crop_dev, kpts, dc, df, mask,
             K_dev, seed_dev, img_mask=img_mask,
         )
+        if self._timers is not None:
+            self._timers["dispatch"].append(_time.perf_counter() - _t2)
         return (out_dev, A3, tracked)
 
     def _drain(self, pending) -> FrameResult:
@@ -316,7 +330,13 @@ class PoseEstimator:
         # ONE batched device->host fetch for everything this frame needs:
         # separate np.asarray() calls are separate transfers, each paying
         # the tunnel round trip (~10 ms apiece)
+        if self._timers is not None:
+            import time as _time
+
+            _t0 = _time.perf_counter()
         mk3d, mk2d, valid, res = jax.device_get(out_dev)
+        if self._timers is not None:
+            self._timers["drain_fetch"].append(_time.perf_counter() - _t0)
         n_inl = int(res.n_inliers)
         n_match = int(valid.sum())
         success = bool(res.success) and n_inl >= self.cfg.pnp.min_inliers
