@@ -113,3 +113,140 @@ def test_parse_video_codec_roundtrip(tmp_path, rng):
         assert a is not None and b is not None and a.shape == b.shape
         diff = np.abs(a.astype(np.float32) - b.astype(np.float32)).mean()
         assert diff < 8.0, (i, diff)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.slow
+def test_parsed_scan_drives_full_pipeline(tmp_path, rng):
+    """Real-data-format rehearsal (VERDICT r4 missing #4): an encoded
+    reference-format scan directory (Frames.m4v + ARposes.txt + Box.txt)
+    is parsed by data/parse_arkit.py and the PARSED artifacts alone
+    (crops, rewritten intrinsics, crop affines, box corners) drive the
+    full pipeline: map -> train -> match -> PnP. Gates the parser ->
+    engine seam end-to-end, not just the parser round-trip."""
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    pytest.importorskip("scipy")
+
+    from onepose_st_tpu import config as cfg_lib
+    from onepose_st_tpu.core import camera, metrics, so3
+    from onepose_st_tpu.models import OnePoseMatcher
+    from onepose_st_tpu.sfm import pipeline as sfm_pipeline
+    from onepose_st_tpu.sfm import tracks as tracks_mod
+    from onepose_st_tpu.solvers import ransac_pnp
+    from onepose_st_tpu.train import data as data_mod, loop as loop_mod
+
+    d, scene, frames = make_fake_scan(tmp_path, rng, n_frames=14)
+    # reference input format: an actual encoded video, no Frames/ dir
+    shutil.rmtree(d / "Frames")
+    H, W = frames.shape[1:3]
+    vw = cv2.VideoWriter(
+        str(d / "Frames.m4v"), cv2.VideoWriter_fourcc(*"mp4v"), 30, (W, H)
+    )
+    assert vw.isOpened()
+    for f in frames:
+        vw.write(np.repeat((f * 255).astype(np.uint8)[..., None], 3, -1))
+    vw.release()
+    n = parse_arkit.parse_sequence(d, downsample_rate=1, hw=64)
+    seq = parse_arkit.load_sequence(d)
+    assert seq.images.shape == (n, 64, 64)
+
+    # from here on: ONLY parsed artifacts (seq.*), as a real scan would give
+    from test_e2e_synthetic import tiny_cfg
+
+    cfg = tiny_cfg()
+    cfg = cfg_lib.replace(cfg, sfm=cfg_lib.replace(cfg.sfm, merge_radius=8e-3))
+    model = OnePoseMatcher(cfg.matcher)
+    L = cfg.matcher.n_points
+    variables = model.init(
+        jax.random.key(0), jnp.asarray(seq.images[:1, ..., None]),
+        jnp.zeros((1, L, 3)), jnp.zeros((1, L, 32)), jnp.zeros((1, L, 16)),
+    )
+    from onepose_st_tpu.ops import sampling as sampling_ops
+
+    feat_cache = {}
+
+    def sample_desc(img_id, uv):
+        if img_id not in feat_cache:
+            feat_cache[img_id] = model.apply(
+                variables, jnp.asarray(seq.images[img_id][None, ..., None]),
+                train=False,
+                method=lambda m, im, train: m.backbone(im, train),
+            )
+        fc, ff = feat_cache[img_id]
+        dc = sampling_ops.sample_descriptors(fc, jnp.asarray(uv)[None], 8.0)[0]
+        df = sampling_ops.sample_descriptors(ff, jnp.asarray(uv)[None], 2.0)[0]
+        return np.asarray(dc), np.asarray(df)
+
+    # GT-derived matches in PARSED-CROP coordinates (noise 0.2 px): the
+    # matcher-independent probe of the parsed geometry
+    uv_crop = np.zeros((n, len(scene.points), 2), np.float32)
+    vis = np.zeros((n, len(scene.points)), bool)
+    for f in range(n):
+        uvf, depth = camera.project(
+            jnp.asarray(scene.points), jnp.asarray(seq.poses[f]),
+            jnp.asarray(seq.Ks[f]), eps=0.0,
+        )
+        uv_crop[f] = np.asarray(uvf)
+        vis[f] = (
+            scene.visible[f] & (np.asarray(depth) > 0)
+            & (uv_crop[f] >= 2).all(-1) & (uv_crop[f] < 62).all(-1)
+        )
+    pms = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            ids = np.nonzero(vis[i] & vis[j])[0]
+            if len(ids) < 8:
+                continue
+            noise = rng.normal(size=(len(ids), 2)).astype(np.float32) * 0.2
+            pms.append(tracks_mod.PairMatches(
+                i, j, uv_crop[i, ids], uv_crop[j, ids] + noise,
+                np.ones(len(ids), np.float32),
+            ))
+    sfm_map, _ = sfm_pipeline.build_map_from_matches(
+        pms, seq.poses, seq.Ks, cfg, box_corners=seq.box_corners,
+        sample_descriptors=sample_desc, desc_dims=(32, 16),
+    )
+    assert len(sfm_map.keypoints3d) >= 20
+
+    batches = data_mod.map_training_batches(
+        sfm_map, seq.images, seq.poses, seq.Ks, cfg,
+        rng, batch_size=2, frame_ids=np.arange(n),
+    )
+    state, history = loop_mod.fit(cfg, model, batches, n_steps=500,
+                                  log_every=100)
+    assert history[-1]["loss_coarse"] < history[0]["loss_coarse"] * 0.6
+
+    trained = {"params": state.params, "batch_stats": state.batch_stats}
+    k, dc_, df_, s_, mask = sfm_map.padded(L)
+    ok = 0
+    for t in (0, n // 2):
+        out = model.apply(
+            trained, jnp.asarray(seq.images[t][None, ..., None]),
+            jnp.asarray(k)[None], jnp.asarray(dc_)[None],
+            jnp.asarray(df_)[None], jnp.asarray(mask)[None],
+        )
+        res = ransac_pnp(
+            jax.random.key(int(t)), out["mkpts3d"][0],
+            out["mkpts_query_f"][0], jnp.asarray(seq.Ks[t]),
+            out["matches"].valid[0], cfg.pnp,
+        )
+        R, tr = so3.pose6_to_Rt(res.pose6)
+        T_pred = np.eye(4)
+        T_pred[:3, :3] = np.asarray(R)
+        T_pred[:3, 3] = np.asarray(tr)
+        T_gt = np.eye(4)
+        from scipy.spatial.transform import Rotation
+
+        T_gt[:3, :3] = Rotation.from_rotvec(seq.poses[t, :3]).as_matrix()
+        T_gt[:3, 3] = seq.poses[t, 3:]
+        r_err, t_err = metrics.query_pose_error(T_pred, T_gt)
+        if bool(res.success) and r_err < 30.0 and t_err < 30.0:
+            ok += 1
+    assert ok >= 1, "no parsed-scan view recovered a sane pose"
