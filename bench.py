@@ -481,6 +481,99 @@ def bench_train_profile(batch: int = 8, image: int = 256, iters: int = 20) -> di
     }
 
 
+def bench_fwd_profile(batch: int = 8, image: int = 512, iters: int = 30) -> dict:
+    """Stage attribution for the INFERENCE forward (VERDICT r4 weak #7:
+    vs_achievable plateaued at 0.66-0.72 with no analysis of the rest).
+
+    Times four jitted programs at flagship geometry and reports each
+    stage's FLOP rate against the measured-achievable GEMM ceiling:
+      backbone      — ResNet-FPN alone
+      coarse_tokens — backbone + encodings + coarse transformer
+      coarse_full   — + fused dual-softmax extraction
+      full          — + fine stage (the shipped forward)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_st_tpu import config as cfg_lib
+    from onepose_st_tpu.models import OnePoseMatcher
+    from onepose_st_tpu.models.matcher2d3d import OnePoseMatcher as OPM
+
+    cfg = cfg_lib.adapt_dtypes(cfg_lib.MatcherConfig())
+    model = OnePoseMatcher(cfg)
+    rng = np.random.default_rng(0)
+    B, H, W, L = batch, image, image, cfg.n_points
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+    kpts = jnp.asarray(rng.uniform(-0.1, 0.1, size=(B, L, 3)).astype(np.float32))
+    dc = jnp.asarray(rng.normal(size=(B, L, 256)).astype(np.float32))
+    df = jnp.asarray(rng.normal(size=(B, L, 128)).astype(np.float32))
+    mask = jnp.ones((B, L), dtype=bool)
+    variables = jax.jit(model.init)(jax.random.key(0), img, kpts, dc, df, mask)
+
+    def timed_flops(fn, *args):
+        jitted = jax.jit(fn)
+        flops = _cost_flops(jitted.lower(*args).compile())
+        float(jitted(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            cs = jitted(*args)
+        float(cs)
+        return (time.perf_counter() - t0) / iters, flops
+
+    def backbone_only(v, im):
+        fc, ff = model.apply(v, im, train=False,
+                             method=lambda m, i, train: m.backbone(i, train))
+        return jnp.sum(fc.astype(jnp.float32)) + jnp.sum(ff.astype(jnp.float32))
+
+    def tokens(v, im, k_, dc_, m_):
+        q, p, ff, _hw = model.apply(v, im, k_, dc_, m_,
+                                    method=OPM.coarse_tokens)
+        return (jnp.sum(q.astype(jnp.float32)) + jnp.sum(p.astype(jnp.float32))
+                + jnp.sum(ff.astype(jnp.float32)))
+
+    def coarse_full(v, im, k_, dc_, m_):
+        out = model.apply(v, im, k_, dc_, m_, method=OPM.coarse)
+        m = out["matches"]
+        return (jnp.sum(m.conf) + jnp.sum(m.i_ids)
+                + jnp.sum(out["feat_f"].astype(jnp.float32)))
+
+    def full(v, im, k_, dc_, df_, m_):
+        out = model.apply(v, im, k_, dc_, df_, m_)
+        return (jnp.sum(out["mkpts_query_f"]) + jnp.sum(out["matches"].conf)
+                + jnp.sum(out["mkpts3d"]))
+
+    t_bb, f_bb = timed_flops(backbone_only, variables, img)
+    t_tok, f_tok = timed_flops(tokens, variables, img, kpts, dc, mask)
+    t_cf, f_cf = timed_flops(coarse_full, variables, img, kpts, dc, mask)
+    t_full, f_full = timed_flops(full, variables, img, kpts, dc, df, mask)
+
+    ach = _achievable_flops()
+    def row(t, f):
+        return {
+            "ms": round(t * 1e3, 2),
+            "tflops": round(f / t / 1e12, 1) if np.isfinite(f) else None,
+            "vs_achievable": round(f / t / ach, 3) if np.isfinite(f) else None,
+        }
+
+    out = {
+        "metric": f"fwd_profile_b{batch}_{image}px",
+        "value": round(t_full * 1e3, 2),
+        "unit": "ms/fwd",
+        "backbone": row(t_bb, f_bb),
+        "coarse_tokens": row(t_tok, f_tok),
+        "coarse_full": row(t_cf, f_cf),
+        "full": row(t_full, f_full),
+        "attn_ms": round((t_tok - t_bb) * 1e3, 2),
+        "dsmax_extract_ms": round((t_cf - t_tok) * 1e3, 2),
+        "fine_ms": round((t_full - t_cf) * 1e3, 2),
+        "achievable_tflops": round(ach / 1e12, 2),
+        "vs_baseline": 0.0,
+    }
+    if _CONTAMINATED is not None:
+        out["contaminated"] = _CONTAMINATED
+    return out
+
+
 def bench_depth_ba(n_tracks: int = 15000, track_len: int = 16, iters: int = 10) -> dict:
     """Depth-only LM BA at the reference's 15k-point map scale
     (the DeepLM workload, SURVEY.md §2.2)."""
@@ -992,6 +1085,8 @@ def main():
         result = bench_train()
     elif which == "train_profile":
         result = bench_train_profile()
+    elif which == "fwd_profile":
+        result = bench_fwd_profile()
     elif which == "depth_ba":
         result = bench_depth_ba()
     elif which == "pipeline":
