@@ -318,6 +318,17 @@ class PoseEstimator:
             self.variables, crop_dev, kpts, dc, df, mask,
             K_dev, seed_dev, img_mask=img_mask,
         )
+        # Enqueue the device->host copy NOW (non-blocking): PJRT starts the
+        # transfer as soon as the program finishes, so the later _drain
+        # device_get finds the data already on host instead of paying the
+        # tunnel round trip serially inside the frame loop (~10 ms/frame on
+        # the axon tunnel, EXPERIMENTS.md roofline notes). In the pipelined
+        # driver the transfer of frame t overlaps host prep of frame t+1.
+        try:
+            for leaf in jax.tree_util.tree_leaves(out_dev):
+                leaf.copy_to_host_async()
+        except (AttributeError, NotImplementedError):  # backend w/o async D2H
+            pass
         if self._timers is not None:
             self._timers["dispatch"].append(_time.perf_counter() - _t2)
         return (out_dev, A3, tracked)
