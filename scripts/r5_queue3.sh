@@ -12,7 +12,15 @@ done
 # multi-object variant (ONE matcher jointly trained over two objects).
 set -u
 cd /root/repo
+# chip is idle between queues here: take the forward-stage roofline
+# attribution (VERDICT r4 weak #7) on a clean device
+timeout 900 python -u bench.py fwd_profile > logs/r5_fwd_profile.log 2>&1
+echo "== fwd_profile rc=$?"
 for S in 1 2; do
+  if [ "$(date +%s)" -ge "$(date -d '07:45' +%s)" ]; then
+    echo "== strict512 seed $S SKIPPED (wall-clock gate)"
+    continue
+  fi
   timeout 7200 python -u examples/synthetic_e2e.py --preset full --steps 8000 \
     --frames 120 --image 512 --batch 4 --seed $S --eval_conf_thr 0.05 \
     --loftr_ckpt ckpts/loftr_full_r3 --fine_refine --strict_map \
@@ -22,7 +30,15 @@ for S in 1 2; do
   echo "== strict512 seed $S rc=$?"
   grep -h "held-out pose metrics\|map:" logs/e2e_r5_strict512_s${S}.log
 done
-# multi-object: 2 objects, one jointly trained matcher, strict recipe
+# multi-object: 2 objects, one jointly trained matcher, strict recipe.
+# Wall-clock gate (VERDICT r4 weak #3: twice a capstone run was queued too
+# late and died at the round snapshot): only start if it can finish before
+# the end-of-round clean-bench window.
+if [ "$(date +%s)" -ge "$(date -d '07:45' +%s)" ]; then
+  echo "== strict512 multiobj SKIPPED (wall-clock gate: too late to finish)"
+  echo "QUEUE3 DONE"
+  exit 0
+fi
 timeout 9000 python -u examples/synthetic_e2e.py --preset full --steps 8000 \
   --frames 80 --image 512 --batch 4 --seed 10 --n_objects 2 \
   --eval_conf_thr 0.05 --loftr_ckpt ckpts/loftr_full_r3 --fine_refine \
