@@ -8,19 +8,18 @@ done
 # Round-5 queue 3 (VERDICT item #6): harden the strict-512 "solved" claim.
 # The r4 claim rests on 16 held-out frames of one scene at seed 0
 # (binomial 16/16 is consistent with a true rate as low as ~0.83).
-# Here: two more seeds at 120 frames (24 held-out each), then the
-# multi-object variant (ONE matcher jointly trained over two objects).
+# Order: seed 1 at 120 frames (24 held-out), then the multi-object
+# variant (ONE matcher jointly trained over two objects — a different
+# failure axis than a third seed), then seed 2 if time remains.
 set -u
 cd /root/repo
 # chip is idle between queues here: take the forward-stage roofline
 # attribution (VERDICT r4 weak #7) on a clean device
 timeout 900 python -u bench.py fwd_profile > logs/r5_fwd_profile.log 2>&1
 echo "== fwd_profile rc=$?"
-for S in 1 2; do
-  if [ "$(date +%s)" -ge "$(date -d '07:45' +%s)" ]; then
-    echo "== strict512 seed $S SKIPPED (wall-clock gate)"
-    continue
-  fi
+
+run_seed () {
+  S=$1
   timeout 7200 python -u examples/synthetic_e2e.py --preset full --steps 8000 \
     --frames 120 --image 512 --batch 4 --seed $S --eval_conf_thr 0.05 \
     --loftr_ckpt ckpts/loftr_full_r3 --fine_refine --strict_map \
@@ -29,22 +28,33 @@ for S in 1 2; do
     > logs/e2e_r5_strict512_s${S}.log 2>&1
   echo "== strict512 seed $S rc=$?"
   grep -h "held-out pose metrics\|map:" logs/e2e_r5_strict512_s${S}.log
-done
-# multi-object: 2 objects, one jointly trained matcher, strict recipe.
-# Wall-clock gate (VERDICT r4 weak #3: twice a capstone run was queued too
-# late and died at the round snapshot): only start if it can finish before
-# the end-of-round clean-bench window.
-if [ "$(date +%s)" -ge "$(date -d '07:45' +%s)" ]; then
-  echo "== strict512 multiobj SKIPPED (wall-clock gate: too late to finish)"
-  echo "QUEUE3 DONE"
-  exit 0
+}
+
+# Wall-clock gates (VERDICT r4 weak #3: twice a capstone run was queued
+# too late and died at the round snapshot): each long run starts only if
+# it can finish before the end-of-round clean-bench window.
+if [ "$(date +%s)" -lt "$(date -d '07:45' +%s)" ]; then
+  run_seed 1
+else
+  echo "== strict512 seed 1 SKIPPED (wall-clock gate)"
 fi
-timeout 9000 python -u examples/synthetic_e2e.py --preset full --steps 8000 \
-  --frames 80 --image 512 --batch 4 --seed 10 --n_objects 2 \
-  --eval_conf_thr 0.05 --loftr_ckpt ckpts/loftr_full_r3 --fine_refine \
-  --strict_map --refine_iters 2 \
-  --save_run runs/e2e_r5_strict512_multiobj \
-  > logs/e2e_r5_strict512_multiobj.log 2>&1
-echo "== strict512 multiobj rc=$?"
-grep -h "held-out pose metrics\|map:" logs/e2e_r5_strict512_multiobj.log
+
+if [ "$(date +%s)" -lt "$(date -d '07:45' +%s)" ]; then
+  timeout 9000 python -u examples/synthetic_e2e.py --preset full --steps 8000 \
+    --frames 80 --image 512 --batch 4 --seed 10 --n_objects 2 \
+    --eval_conf_thr 0.05 --loftr_ckpt ckpts/loftr_full_r3 --fine_refine \
+    --strict_map --refine_iters 2 \
+    --save_run runs/e2e_r5_strict512_multiobj \
+    > logs/e2e_r5_strict512_multiobj.log 2>&1
+  echo "== strict512 multiobj rc=$?"
+  grep -h "held-out pose metrics\|map:" logs/e2e_r5_strict512_multiobj.log
+else
+  echo "== strict512 multiobj SKIPPED (wall-clock gate: too late to finish)"
+fi
+
+if [ "$(date +%s)" -lt "$(date -d '07:45' +%s)" ]; then
+  run_seed 2
+else
+  echo "== strict512 seed 2 SKIPPED (wall-clock gate)"
+fi
 echo "QUEUE3 DONE"
