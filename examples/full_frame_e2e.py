@@ -111,6 +111,12 @@ def main():
                          "log-focal across sampled frames (breaks the "
                          "per-frame f/tz degeneracy); 'median' = the r4 "
                          "per-frame inlier-weighted median")
+    ap.add_argument("--calib_stride", type=int, default=8,
+                    help="self-calibration frame sampling stride (smaller "
+                         "= more frames in the joint bundle)")
+    ap.add_argument("--calib_rounds", type=int, default=1,
+                    help="self-calibration outer rounds (re-detect + "
+                         "re-estimate with the refined K between rounds)")
     ap.add_argument("--refine", default=None, choices=[None, "correlation"],
                     help="temporal second pass over the wild sequence")
     ap.add_argument("--save_run", default=None,
@@ -588,6 +594,8 @@ def main():
             K_inf, cal_info = estimator.self_calibrate(
                 frames_eval, K_inf.astype(np.float32),
                 method=args.calib_method,
+                sample_stride=args.calib_stride,
+                rounds=args.calib_rounds,
             )
             print(f"self-calibrated focal ({args.calib_method}): "
                   f"scale {cal_info['scale']:.4f} "

@@ -2,7 +2,7 @@
 set -u
 cd /root/repo
 for i in $(seq 1 1500); do
-  grep -q "QUEUE2 DONE" logs/r5_queue2_driver.log 2>/dev/null && break
+  grep -q "QUEUE2B DONE" logs/r5_queue2b_driver.log 2>/dev/null && break
   sleep 20
 done
 # Round-5 queue 4 (VERDICT item #7): the learned tracker's one focused
