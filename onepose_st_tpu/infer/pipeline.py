@@ -667,11 +667,23 @@ class PoseEstimator:
                 r = self._account(self._drain(ph))
                 results.append(r)
                 if not r.success and handle is not None and handle[2]:
-                    # the in-flight successor used a tracked box from a pose
-                    # that just turned out lost: redo it via the detector
+                    # The in-flight successor used a tracked box from a pose
+                    # that just turned out lost. Its result is already
+                    # computed — drain it first (free): the box came from
+                    # the pose BEFORE the failed frame, which is usually
+                    # still valid for the successor (a corrupted frame does
+                    # not move the object). Only when that attempt also
+                    # fails, redo via the detector + retry ladder
+                    # (r5 pipelined default: the drop-and-redo version lost
+                    # frame 53 by one inlier where the discarded in-flight
+                    # attempt had succeeded, logs/r5_pipelined_default.log).
                     self._lost = True
-                    r2 = self.estimate(frames[f], Ks[f], frame_idx=idx)
-                    results.append(r2)
+                    r_if = self._drain(handle)
+                    if r_if.success:
+                        results.append(self._account(r_if))
+                    else:
+                        r2 = self.estimate(frames[f], Ks[f], frame_idx=idx)
+                        results.append(r2)
                     pending = None
                     handle = None
                     continue
