@@ -39,8 +39,8 @@ else
   echo "== strict512 seed 1 SKIPPED (wall-clock gate)"
 fi
 
-if [ "$(date +%s)" -lt "$(date -d '07:45' +%s)" ]; then
-  timeout 9000 python -u examples/synthetic_e2e.py --preset full --steps 8000 \
+if [ "$(date +%s)" -lt "$(date -d '08:05' +%s)" ]; then
+  timeout 3600 python -u examples/synthetic_e2e.py --preset full --steps 6000 \
     --frames 80 --image 512 --batch 4 --seed 10 --n_objects 2 \
     --eval_conf_thr 0.05 --loftr_ckpt ckpts/loftr_full_r3 --fine_refine \
     --strict_map --refine_iters 2 \
