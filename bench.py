@@ -574,6 +574,105 @@ def bench_fwd_profile(batch: int = 8, image: int = 512, iters: int = 30) -> dict
     return out
 
 
+def bench_conv_ceiling(batch: int = 8, iters: int = 50) -> dict:
+    """Per-shape conv ceiling probe for the backbone roofline argument
+    (VERDICT r4 weak #7 follow-up to fwd_profile).
+
+    fwd_profile attributes the forward's 0.67 vs_achievable to the
+    ResNet-FPN (24.9 of 36.1 ms at 0.681, while the coarse transformer
+    stage runs at 0.808). This mode times ISOLATED lax convs at the
+    backbone's dominant shapes (b8/512 px flagship geometry,
+    backbone.py:94-117) in the same bf16-compute/f32-param regime, plus
+    an iso-FLOP bf16 GEMM as the MXU reference. If the isolated convs
+    match the full backbone's rate, the gap to the GEMM ceiling is XLA's
+    conv lowering at these shapes — a compiler ceiling, not a graph
+    inefficiency we can fuse away.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = batch
+    d1, d2, d3 = 128, 196, 256
+    shapes = [
+        # (name, H, W, Cin, Cout, k, stride)
+        ("stem_7x7_1to128_s2", 512, 512, 1, 128, 7, 2),
+        ("s1_3x3_128_at256", 256, 256, d1, d1, 3, 1),
+        ("s2_3x3_196_at128", 128, 128, d2, d2, 3, 1),
+        ("s3_3x3_256_at64", 64, 64, d3, d3, 3, 1),
+        ("fpn_3x3_196_at256", 256, 256, d2, d2, 3, 1),
+        ("fpn_3x3_196to128_at256", 256, 256, d2, d1, 3, 1),
+    ]
+    rng = np.random.default_rng(0)
+    rows = {}
+    total_t, total_f = 0.0, 0.0
+
+    def timed(fn, *args):
+        jitted = jax.jit(fn)
+        flops = _cost_flops(jitted.lower(*args).compile())
+        jitted(*args).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jitted(*args)
+        out.block_until_ready()
+        return (time.perf_counter() - t0) / iters, flops
+
+    ach = _achievable_flops()
+    for name, H, W, cin, cout, k, stride in shapes:
+        x = jnp.asarray(rng.normal(size=(B, H, W, cin)).astype(np.float32))
+        w = jnp.asarray(
+            rng.normal(size=(k, k, cin, cout)).astype(np.float32) * 0.05
+        )
+
+        def conv(x_, w_):
+            y = jax.lax.conv_general_dilated(
+                x_.astype(jnp.bfloat16), w_.astype(jnp.bfloat16),
+                window_strides=(stride, stride), padding=[(k // 2, k // 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return jnp.maximum(y, 0)  # keep the fused epilogue realistic
+
+        t, f = timed(conv, x, w)
+        rows[name] = {
+            "ms": round(t * 1e3, 3),
+            "tflops": round(f / t / 1e12, 1),
+            "vs_achievable": round(f / t / ach, 3),
+        }
+        total_t += t
+        total_f += f
+
+    # iso-FLOP GEMM reference: same total FLOPs as one s1 conv
+    M = B * 256 * 256
+    K = 9 * d1
+    gA = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    gB = jnp.asarray(rng.normal(size=(K, d1)).astype(np.float32))
+
+    def gemm(a, b):
+        return jnp.dot(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.bfloat16,
+        )
+
+    tg, fg = timed(gemm, gA, gB)
+    rows["iso_gemm_im2col_s1"] = {
+        "ms": round(tg * 1e3, 3),
+        "tflops": round(fg / tg / 1e12, 1),
+        "vs_achievable": round(fg / tg / ach, 3),
+    }
+
+    out = {
+        "metric": f"conv_ceiling_b{batch}_512px",
+        "value": round(total_f / total_t / 1e12, 1),
+        "unit": "TFLOP/s (flop-weighted over backbone conv shapes)",
+        "vs_achievable": round(total_f / total_t / ach, 3),
+        "achievable_tflops": round(ach / 1e12, 2),
+        "vs_baseline": 0.0,
+        **rows,
+    }
+    if _CONTAMINATED is not None:
+        out["contaminated"] = _CONTAMINATED
+    return out
+
+
 def bench_depth_ba(n_tracks: int = 15000, track_len: int = 16, iters: int = 10) -> dict:
     """Depth-only LM BA at the reference's 15k-point map scale
     (the DeepLM workload, SURVEY.md §2.2)."""
@@ -1087,6 +1186,8 @@ def main():
         result = bench_train_profile()
     elif which == "fwd_profile":
         result = bench_fwd_profile()
+    elif which == "conv_ceiling":
+        result = bench_conv_ceiling()
     elif which == "depth_ba":
         result = bench_depth_ba()
     elif which == "pipeline":
