@@ -27,3 +27,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles hundreds of XLA:CPU programs across ~25
+    modules; with all of them held live, the compile of the large fused
+    train-step program in test_train.py segfaulted inside
+    backend_compile_and_load three runs in a row (logs/r5_pytest{1,2,4}),
+    while the same test passes in isolation in 42 s. Clearing between
+    modules bounds the compiler's accumulated state; per-module tests
+    share compiles as before."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
