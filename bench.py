@@ -618,14 +618,19 @@ def bench_conv_ceiling(batch: int = 8, iters: int = 50) -> dict:
 
     ach = _achievable_flops()
     for name, H, W, cin, cout, k, stride in shapes:
-        x = jnp.asarray(rng.normal(size=(B, H, W, cin)).astype(np.float32))
+        # bf16-resident inputs, like the real backbone's inter-layer
+        # activations (an f32 input would double the HBM read traffic and
+        # unfairly depress these bandwidth-capped shapes)
+        x = jnp.asarray(rng.normal(size=(B, H, W, cin)).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
         w = jnp.asarray(
             rng.normal(size=(k, k, cin, cout)).astype(np.float32) * 0.05
-        )
+        ).astype(jnp.bfloat16)
 
         def conv(x_, w_):
             y = jax.lax.conv_general_dilated(
-                x_.astype(jnp.bfloat16), w_.astype(jnp.bfloat16),
+                x_, w_,
                 window_strides=(stride, stride), padding=[(k // 2, k // 2)] * 2,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
@@ -643,14 +648,11 @@ def bench_conv_ceiling(batch: int = 8, iters: int = 50) -> dict:
     # iso-FLOP GEMM reference: same total FLOPs as one s1 conv
     M = B * 256 * 256
     K = 9 * d1
-    gA = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
-    gB = jnp.asarray(rng.normal(size=(K, d1)).astype(np.float32))
+    gA = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    gB = jnp.asarray(rng.normal(size=(K, d1)).astype(np.float32)).astype(jnp.bfloat16)
 
     def gemm(a, b):
-        return jnp.dot(
-            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-            preferred_element_type=jnp.bfloat16,
-        )
+        return jnp.dot(a, b, preferred_element_type=jnp.bfloat16)
 
     tg, fg = timed(gemm, gA, gB)
     rows["iso_gemm_im2col_s1"] = {
